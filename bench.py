@@ -1,0 +1,121 @@
+"""Benchmark harness: compress + decompress GB/s on the html corpus.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "GB/s", "vs_baseline": N, ...}
+
+Metric definition (BASELINE.md): combined codec throughput
+``2 * uncompressed_bytes / (t_compress + t_decompress)`` over batches
+of 64 KiB blocks of the canonical ``html`` corpus file on one chip.
+
+Baseline denominator: the reference publishes no absolute numbers
+(SURVEY.md §6); upstream google/snappy documents ~250 MB/s compress
+and ~500 MB/s decompress per CPU core, giving a combined
+2/(1/0.25 + 1/0.5) = 0.333 GB/s — used as ``vs_baseline``'s 1.0x.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import time
+
+import numpy as np
+
+BASELINE_COMBINED_GBPS = 1.0 / 3.0
+
+
+def _load_html() -> bytes:
+    p = pathlib.Path("/root/reference/Snappier.Tests/TestData/html")
+    if p.exists():
+        return p.read_bytes()
+    rng = np.random.default_rng(7)
+    words = [b"<html>", b"<body>", b"the", b"snappy", b"corpus", b"fallback"]
+    return b" ".join(words[i] for i in rng.integers(0, len(words), 40000))
+
+
+def main() -> None:
+    import jax
+
+    cache = pathlib.Path(__file__).parent / ".jax_cache"
+    cache.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    from snappier_tpu.constants import BLOCK_SIZE
+    from snappier_tpu.models.codec import SnappyCodec
+
+    html = _load_html()
+    B = 64  # 64 x 64 KiB = 4 MiB per device call
+    reps = -(-B * BLOCK_SIZE // len(html))
+    tiled = (html * reps)[: B * BLOCK_SIZE]
+    frags = np.frombuffer(tiled, np.uint8).reshape(B, BLOCK_SIZE).astype(np.int32)
+    lengths = np.full(B, BLOCK_SIZE, np.int32)
+
+    codec = SnappyCodec(with_crc=True)
+    frags_d = jax.device_put(jnp.asarray(frags))
+    lengths_d = jax.device_put(jnp.asarray(lengths))
+
+    # Warmup / compile.
+    bodies, body_lens, crcs = codec.compress_batch(frags_d, lengths_d)
+    bodies.block_until_ready()
+
+    # Build decode input from the compressed output (3-byte preambles).
+    pre = np.stack(
+        [
+            (lengths & 0x7F) | 0x80,
+            ((lengths >> 7) & 0x7F) | 0x80,
+            (lengths >> 14) & 0x7F,
+        ],
+        axis=1,
+    ).astype(np.int32)
+    blocks = np.concatenate([pre, np.asarray(bodies)], axis=1)
+    blocks_d = jax.device_put(jnp.asarray(blocks))
+    block_lens_d = jax.device_put(jnp.asarray(np.asarray(body_lens) + 3))
+    outs, out_lens, errs = codec.decompress_batch(
+        blocks_d, block_lens_d, out_cap=BLOCK_SIZE
+    )
+    outs.block_until_ready()
+    assert int(np.max(np.asarray(errs))) == 0
+    assert (np.asarray(outs[0])[: BLOCK_SIZE] == frags[0]).all(), "bench roundtrip"
+
+    def timeit(fn, iters=20):
+        fn()  # warm
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = fn()
+        jax.tree.leaves(r)[0].block_until_ready()
+        return (time.perf_counter() - t0) / iters
+
+    t_c = timeit(lambda: codec.compress_batch(frags_d, lengths_d))
+    t_d = timeit(
+        lambda: codec.decompress_batch(blocks_d, block_lens_d, out_cap=BLOCK_SIZE)
+    )
+
+    nbytes = B * BLOCK_SIZE
+    gb = nbytes / 1e9
+    compress_gbps = gb / t_c
+    decompress_gbps = gb / t_d
+    combined = 2 * gb / (t_c + t_d)
+
+    ratio = float(np.asarray(body_lens).sum()) / nbytes
+    print(
+        json.dumps(
+            {
+                "metric": "compress+decompress GB/s/chip on html corpus",
+                "value": round(combined, 4),
+                "unit": "GB/s",
+                "vs_baseline": round(combined / BASELINE_COMBINED_GBPS, 3),
+                "compress_gbps": round(compress_gbps, 4),
+                "decompress_gbps": round(decompress_gbps, 4),
+                "compression_ratio": round(ratio, 4),
+                "batch_blocks": B,
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

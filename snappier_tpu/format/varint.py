@@ -58,7 +58,7 @@ def read_varint(data, pos: int = 0) -> tuple[int, int]:
     for i in range(MAX_VARINT_LEN):
         if pos + i >= n:
             raise InvalidDataError("truncated varint length preamble")
-        b = data[pos + i]
+        b = int(data[pos + i])  # int(): numpy uint8 would wrap on <<
         value |= (b & 0x7F) << shift
         if not (b & 0x80):
             if value > MAX_U32:

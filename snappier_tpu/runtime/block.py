@@ -1,0 +1,200 @@
+"""Block-format runtime: the public compress/decompress API over the
+device kernels.
+
+This is the equivalent of the reference's ``Snappy`` static facade
+(``Snappier/Snappy.cs``): whole-buffer compress/decompress, Try*
+variants writing into caller buffers, and size queries — plus the
+batched entry points the TPU actually wants (N independent fragments
+in one device call, SURVEY.md §2.4 "block data-parallelism").
+
+Shape policy: XLA kernels are static-shaped, so buffers are padded to
+power-of-two capacity buckets; each bucket compiles once and is cached
+by jit. Fragments are always 64 KiB-padded (one static shape for the
+encoder); the decoder buckets by compressed length and claimed output
+length.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from snappier_tpu.constants import BLOCK_SIZE, max_compressed_length
+from snappier_tpu.errors import BufferTooSmallError, InvalidDataError
+from snappier_tpu.format.varint import read_varint, write_varint
+from snappier_tpu.ops.decode import (
+    ERR_BAD_OFFSET,
+    ERR_BAD_PREAMBLE,
+    ERR_LENGTH_MISMATCH,
+    ERR_TRUNCATED_TAG,
+    decode_block,
+)
+from snappier_tpu.ops.encode import FRAGMENT_OUT_CAP, encode_block
+
+_ERR_MESSAGES = [
+    (ERR_TRUNCATED_TAG, "tag overruns compressed input"),
+    (ERR_BAD_OFFSET, "copy offset out of range"),
+    (ERR_LENGTH_MISMATCH, "tag stream does not match length preamble"),
+    (ERR_BAD_PREAMBLE, "bad length preamble"),
+]
+
+_MIN_BUCKET = 1024
+
+
+def _bucket(n: int) -> int:
+    """Power-of-two capacity bucket (bounds jit recompiles)."""
+    return max(_MIN_BUCKET, 1 << (max(n, 1) - 1).bit_length())
+
+
+def _as_u8(data) -> np.ndarray:
+    if isinstance(data, np.ndarray):
+        return data.astype(np.uint8, copy=False).ravel()
+    return np.frombuffer(bytes(data), dtype=np.uint8)
+
+
+@functools.cache
+def _encode_batch_fn():
+    return jax.jit(jax.vmap(encode_block))
+
+
+@functools.cache
+def _decode_batch_fn(out_cap: int):
+    return jax.jit(
+        jax.vmap(lambda c, n: decode_block(c, n, out_cap=out_cap))
+    )
+
+
+def _raise_for_err(err: int) -> None:
+    if err:
+        reasons = [m for bit, m in _ERR_MESSAGES if err & bit]
+        raise InvalidDataError("; ".join(reasons) or f"error {err}")
+
+
+# --- Batched device entry points -------------------------------------------
+
+
+def compress_fragments(frags: np.ndarray, lengths: np.ndarray):
+    """Compress a batch of fragments on device.
+
+    Args:
+      frags: uint8/int32 [B, BLOCK_SIZE], zero-padded rows.
+      lengths: int32 [B] actual lengths (0..BLOCK_SIZE).
+
+    Returns:
+      (bodies, body_lens): int32 [B, FRAGMENT_OUT_CAP] tag-stream slots
+      and int32 [B] lengths. No varint preambles — fragment bodies only
+      (SnappyCompressor.cs:34-80 assembly is the caller's job).
+    """
+    out, out_len = _encode_batch_fn()(
+        jnp.asarray(frags, jnp.int32), jnp.asarray(lengths, jnp.int32)
+    )
+    return out, out_len
+
+
+def decompress_blocks(comp: np.ndarray, comp_lens: np.ndarray, out_cap: int):
+    """Decode a batch of full blocks (varint preamble + tags) on device.
+
+    Returns (outs [B, out_cap], out_lens [B], errs [B])."""
+    return _decode_batch_fn(out_cap)(
+        jnp.asarray(comp, jnp.int32), jnp.asarray(comp_lens, jnp.int32)
+    )
+
+
+# --- Public single-buffer API (Snappy.cs facade parity) ---------------------
+
+
+def compress(data) -> bytes:
+    """Compress a buffer in the Snappy block format.
+    Parity: ``Snappy.CompressToArray`` (Snappy.cs:123)."""
+    arr = _as_u8(data)
+    n = len(arr)
+    nfrags = max(1, -(-n // BLOCK_SIZE))
+    frags = np.zeros((nfrags, BLOCK_SIZE), np.int32)
+    lengths = np.zeros(nfrags, np.int32)
+    for i in range(nfrags):
+        frag = arr[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE]
+        frags[i, : len(frag)] = frag
+        lengths[i] = len(frag)
+    bodies, body_lens = compress_fragments(frags, lengths)
+    bodies = np.asarray(bodies, dtype=np.int32)
+    body_lens = np.asarray(body_lens)
+    out = bytearray(write_varint(n))
+    for i in range(nfrags):
+        out += bodies[i, : int(body_lens[i])].astype(np.uint8).tobytes()
+    return bytes(out)
+
+
+def decompress(data) -> bytes:
+    """Decompress a Snappy block-format buffer.
+    Parity: ``Snappy.DecompressToArray`` (Snappy.cs:273). Raises
+    :class:`InvalidDataError` on malformed input."""
+    arr = _as_u8(data)
+    expected, _ = read_varint(arr)  # validates the preamble host-side
+    if expected > 32 * len(arr) + 64:
+        raise InvalidDataError("length preamble exceeds possible expansion")
+    cap = _bucket(len(arr) + 8)
+    buf = np.zeros(cap, np.int32)
+    buf[: len(arr)] = arr
+    out_cap = _bucket(expected)
+    out, out_len, err = decode_block(
+        jnp.asarray(buf), jnp.int32(len(arr)), out_cap
+    )
+    _raise_for_err(int(err))
+    return np.asarray(out)[: int(out_len)].astype(np.uint8).tobytes()
+
+
+def get_uncompressed_length(data) -> int:
+    """Parity: ``Snappy.GetUncompressedLength`` (Snappy.cs:142)."""
+    value, _ = read_varint(_as_u8(data))
+    return value
+
+
+def get_max_compressed_length(n: int) -> int:
+    """Parity: ``Snappy.GetMaxCompressedLength`` (Snappy.cs:20-24)."""
+    return max_compressed_length(n)
+
+
+def compress_into(data, out) -> int:
+    """Compress into a caller buffer; returns bytes written.
+    Parity: ``Snappy.Compress(input, output)`` (Snappy.cs:37)."""
+    comp = compress(data)
+    if len(out) < len(comp):
+        raise BufferTooSmallError(
+            f"need {len(comp)} bytes, destination holds {len(out)}"
+        )
+    out[: len(comp)] = comp
+    return len(comp)
+
+
+def try_compress(data, out) -> tuple[bool, int]:
+    """Parity: ``Snappy.TryCompress`` (Snappy.cs:55)."""
+    comp = compress(data)
+    if len(out) < len(comp):
+        return False, 0
+    out[: len(comp)] = comp
+    return True, len(comp)
+
+
+def decompress_into(data, out) -> int:
+    """Decompress into a caller buffer; returns bytes written.
+    Parity: ``Snappy.Decompress(input, output)`` (Snappy.cs:153)."""
+    plain = decompress(data)
+    if len(out) < len(plain):
+        raise BufferTooSmallError(
+            f"need {len(plain)} bytes, destination holds {len(out)}"
+        )
+    out[: len(plain)] = plain
+    return len(plain)
+
+
+def try_decompress(data, out) -> tuple[bool, int]:
+    """Parity: ``Snappy.TryDecompress`` (Snappy.cs:172). Malformed
+    input still raises; only an undersized destination returns False."""
+    plain = decompress(data)
+    if len(out) < len(plain):
+        return False, 0
+    out[: len(plain)] = plain
+    return True, len(plain)

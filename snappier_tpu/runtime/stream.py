@@ -1,0 +1,396 @@
+"""Framing-format runtime: batched device codec for framed streams plus
+incremental, resumable stream classes.
+
+Parity targets:
+
+* ``SnappyStream`` (SnappyStream.cs) — a ``System.IO.Stream`` adapter
+  with sync+async read/write, pooled 8 KiB transfer buffer, Flush
+  sealing a chunk, Dispose flushing. Here: :class:`SnappyWriter` /
+  :class:`SnappyReader` file-object wrappers (Python IO is sync; the
+  async-guard machinery of SnappyStream.cs:611-637 is a .NET-ism with
+  no Python equivalent).
+* ``SnappyStreamCompressor`` (SnappyStreamCompressor.cs) — 64 KiB
+  buffering, header emission, CRC + uncompressed fallback:
+  :class:`StreamCompressor`.
+* ``SnappyStreamDecompressor`` (SnappyStreamDecompressor.cs) — chunk
+  state machine resumable at *any byte boundary* (4-byte scratch for
+  split headers/CRCs): :class:`StreamDecompressor` keeps the pending
+  tail of the last incomplete chunk, which subsumes the reference's
+  scratch-resume bookkeeping.
+
+TPU shape: chunk payloads are independent given boundaries (SURVEY.md
+§1), so the hot paths batch all full chunks of a feed into one device
+call — encode via ``compress_fragments`` and decode via a single
+static-shaped batched ``decode_block`` (out_cap = 64 KiB always).
+CRC32C runs through the vectorized GF(2) path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from snappier_tpu.constants import (
+    BLOCK_SIZE,
+    CHUNK_COMPRESSED_DATA,
+    CHUNK_PADDING,
+    CHUNK_STREAM_IDENTIFIER,
+    CHUNK_UNCOMPRESSED_DATA,
+    MAX_CHUNK_UNCOMPRESSED,
+    STREAM_HEADER,
+)
+from snappier_tpu.errors import InvalidDataError, InvalidOperationError
+from snappier_tpu.format.crc32c import crc32c, mask_crc, unmask_crc
+from snappier_tpu.format.framing import write_chunk_header
+from snappier_tpu.format.varint import read_varint, write_varint
+from snappier_tpu.runtime import block as block_rt
+
+#: Static compressed-capacity for one framed chunk's block payload
+#: (varint + body <= 3 + 65536 + margin).
+CHUNK_COMP_CAP = BLOCK_SIZE + 1024
+
+#: Reference's default transfer buffer (SnappyStream.cs:16).
+DEFAULT_TRANSFER_SIZE = 8192
+
+
+def _pow2_batch(b: int) -> int:
+    return 1 << max(0, (max(b, 1) - 1)).bit_length()
+
+
+# ---------------------------------------------------------------------------
+# Batched one-shot paths
+# ---------------------------------------------------------------------------
+
+
+def _compress_chunks_batched(chunks: list[bytes]) -> list[bytes]:
+    """Compress a list of <= 64 KiB chunks on device in one batch;
+    returns full framed data-chunk bytes (header + CRC + payload)."""
+    bsz = _pow2_batch(len(chunks))
+    frags = np.zeros((bsz, BLOCK_SIZE), np.int32)
+    lengths = np.zeros(bsz, np.int32)
+    for i, c in enumerate(chunks):
+        a = np.frombuffer(c, np.uint8)
+        frags[i, : len(a)] = a
+        lengths[i] = len(a)
+    bodies, body_lens = block_rt.compress_fragments(frags, lengths)
+    bodies = np.asarray(bodies)
+    body_lens = np.asarray(body_lens)
+    out = []
+    for i, c in enumerate(chunks):
+        checksum = mask_crc(crc32c(c)).to_bytes(4, "little")
+        comp = write_varint(len(c)) + bodies[i, : int(body_lens[i])].astype(
+            np.uint8
+        ).tobytes()
+        if len(comp) < len(c):
+            out.append(
+                write_chunk_header(CHUNK_COMPRESSED_DATA, 4 + len(comp))
+                + checksum
+                + comp
+            )
+        else:
+            # Incompressibility fallback (SnappyStreamCompressor.cs:213-229).
+            out.append(
+                write_chunk_header(CHUNK_UNCOMPRESSED_DATA, 4 + len(c))
+                + checksum
+                + c
+            )
+    return out
+
+
+def _decompress_chunks_batched(payloads: list[bytes]) -> list[bytes]:
+    """Decode a list of compressed data-chunk payloads (block-format
+    buffers, each <= 64 KiB uncompressed) in one device batch."""
+    if not payloads:
+        return []
+    for p in payloads:
+        expected, _ = read_varint(p)
+        if expected > MAX_CHUNK_UNCOMPRESSED:
+            raise InvalidDataError("chunk exceeds 64 KiB uncompressed cap")
+        if len(p) > CHUNK_COMP_CAP - 8:
+            raise InvalidDataError("compressed chunk payload too large")
+    bsz = _pow2_batch(len(payloads))
+    comp = np.zeros((bsz, CHUNK_COMP_CAP), np.int32)
+    comp_lens = np.zeros(bsz, np.int32)
+    comp[:, 0] = 0  # varint(0): valid empty block for padding rows
+    for i, p in enumerate(payloads):
+        a = np.frombuffer(p, np.uint8)
+        comp[i, : len(a)] = a
+        comp_lens[i] = len(a)
+    outs, out_lens, errs = block_rt.decompress_blocks(
+        comp, comp_lens, out_cap=BLOCK_SIZE
+    )
+    outs = np.asarray(outs)
+    out_lens = np.asarray(out_lens)
+    errs = np.asarray(errs)
+    result = []
+    for i in range(len(payloads)):
+        block_rt._raise_for_err(int(errs[i]))
+        result.append(outs[i, : int(out_lens[i])].astype(np.uint8).tobytes())
+    return result
+
+
+def stream_compress(data: bytes) -> bytes:
+    """One-shot framing-format compress (batched on device)."""
+    data = bytes(data)
+    chunks = [
+        data[i : i + MAX_CHUNK_UNCOMPRESSED]
+        for i in range(0, len(data), MAX_CHUNK_UNCOMPRESSED)
+    ]
+    return b"".join([STREAM_HEADER] + _compress_chunks_batched(chunks))
+
+
+def stream_decompress(data: bytes) -> bytes:
+    """One-shot framing-format decompress (batched on device) with full
+    CRC verification."""
+    d = StreamDecompressor()
+    out = d.decompress(bytes(data))
+    d.finish()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Incremental state machines
+# ---------------------------------------------------------------------------
+
+
+class StreamCompressor:
+    """Incremental framing compressor: buffers input to 64 KiB chunk
+    boundaries; ``flush`` seals a partial chunk (each flush creates a
+    chunk, matching SnappyStreamCompressor.Flush :82 — tests exploit
+    this to create many tiny chunks, SnappyStreamTests.cs:158-192)."""
+
+    def __init__(self) -> None:
+        self._buf = bytearray()
+        self._header_written = False
+
+    def _header(self) -> bytes:
+        if self._header_written:
+            return b""
+        self._header_written = True
+        return STREAM_HEADER
+
+    def write(self, data: bytes) -> bytes:
+        """Feed input; returns any framed bytes produced."""
+        self._buf += data
+        if len(self._buf) < MAX_CHUNK_UNCOMPRESSED:
+            return self._header() if not self._header_written else b""
+        chunks = []
+        while len(self._buf) >= MAX_CHUNK_UNCOMPRESSED:
+            chunks.append(bytes(self._buf[:MAX_CHUNK_UNCOMPRESSED]))
+            del self._buf[:MAX_CHUNK_UNCOMPRESSED]
+        return self._header() + b"".join(_compress_chunks_batched(chunks))
+
+    def flush(self) -> bytes:
+        """Seal the current partial chunk, if any."""
+        out = self._header()
+        if self._buf:
+            chunk = bytes(self._buf)
+            self._buf.clear()
+            out += _compress_chunks_batched([chunk])[0]
+        return out
+
+
+class StreamDecompressor:
+    """Incremental framing decompressor, resumable at any byte
+    boundary: incomplete chunk bytes stay pending until the next feed
+    (subsumes SnappyStreamDecompressor's scratch machinery,
+    SnappyStreamDecompressor.cs:11-36, 215-289)."""
+
+    def __init__(self) -> None:
+        self._pending = bytearray()
+        self._seen_header = False
+
+    def decompress(self, data: bytes) -> bytes:
+        """Feed framed bytes; returns decoded bytes available so far."""
+        self._pending += data
+        payloads: list[bytes] = []  # compressed payloads for batch decode
+        order: list[tuple[str, bytes | int]] = []  # assembly plan
+        crcs: list[int] = []
+        pos = 0
+        buf = self._pending
+        while True:
+            if pos + 4 > len(buf):
+                break
+            ctype = buf[pos]
+            plen = int.from_bytes(buf[pos + 1 : pos + 4], "little")
+            if ctype == CHUNK_STREAM_IDENTIFIER and plen != 6:
+                raise InvalidDataError("bad stream identifier length")
+            if (
+                ctype in (CHUNK_COMPRESSED_DATA, CHUNK_UNCOMPRESSED_DATA)
+                and plen > CHUNK_COMP_CAP
+            ):
+                raise InvalidDataError("data chunk payload too large")
+            if pos + 4 + plen > len(buf):
+                break
+            payload = bytes(buf[pos + 4 : pos + 4 + plen])
+            pos += 4 + plen
+            if ctype == CHUNK_STREAM_IDENTIFIER:
+                if payload != STREAM_HEADER[4:]:
+                    raise InvalidDataError("bad stream identifier payload")
+                self._seen_header = True
+                continue
+            if not self._seen_header:
+                raise InvalidDataError("data before stream identifier")
+            if ctype == CHUNK_COMPRESSED_DATA:
+                if len(payload) < 4:
+                    raise InvalidDataError("data chunk shorter than its CRC")
+                crcs.append(unmask_crc(int.from_bytes(payload[:4], "little")))
+                order.append(("c", len(payloads)))
+                payloads.append(payload[4:])
+            elif ctype == CHUNK_UNCOMPRESSED_DATA:
+                if len(payload) < 4:
+                    raise InvalidDataError("data chunk shorter than its CRC")
+                body = payload[4:]
+                if len(body) > MAX_CHUNK_UNCOMPRESSED:
+                    raise InvalidDataError(
+                        "chunk exceeds 64 KiB uncompressed cap"
+                    )
+                expected = unmask_crc(int.from_bytes(payload[:4], "little"))
+                if crc32c(body) != expected:
+                    raise InvalidDataError("chunk CRC32C mismatch")
+                order.append(("u", body))
+            elif ctype == CHUNK_PADDING or ctype >= 0x80:
+                continue
+            else:
+                raise InvalidDataError(
+                    f"unknown unskippable chunk type 0x{ctype:02x}"
+                )
+        del self._pending[:pos]
+        decoded = _decompress_chunks_batched(payloads)
+        ci = 0
+        out = bytearray()
+        for kind, v in order:
+            if kind == "u":
+                out += v  # type: ignore[arg-type]
+            else:
+                body = decoded[v]  # type: ignore[index]
+                if crc32c(body) != crcs[ci]:
+                    raise InvalidDataError("chunk CRC32C mismatch")
+                ci += 1
+                out += body
+        return bytes(out)
+
+    def finish(self) -> None:
+        """Assert end of stream (no dangling partial chunk)."""
+        if self._pending:
+            raise InvalidDataError(
+                f"{len(self._pending)} trailing bytes of incomplete chunk"
+            )
+
+
+# ---------------------------------------------------------------------------
+# File-object adapters (SnappyStream parity)
+# ---------------------------------------------------------------------------
+
+
+class SnappyWriter:
+    """Write-mode SnappyStream: wraps a binary file object, writes the
+    framing format. Parity: SnappyStream.cs compression mode
+    (ctor :55, WriteCore :381, Flush :135, Dispose :486)."""
+
+    def __init__(self, inner, leave_open: bool = False) -> None:
+        self._inner = inner
+        self._leave_open = leave_open
+        self._comp: StreamCompressor | None = StreamCompressor()
+
+    def _check_open(self) -> StreamCompressor:
+        if self._comp is None:
+            raise InvalidOperationError("stream is closed")
+        return self._comp
+
+    def write(self, data: bytes) -> int:
+        out = self._check_open().write(bytes(data))
+        if out:
+            self._inner.write(out)
+        return len(data)
+
+    def flush(self) -> None:
+        out = self._check_open().flush()
+        if out:
+            self._inner.write(out)
+        if hasattr(self._inner, "flush"):
+            self._inner.flush()
+
+    def close(self) -> None:
+        if self._comp is None:
+            return
+        out = self._comp.flush()
+        self._comp = None
+        if out:
+            self._inner.write(out)
+        if not self._leave_open:
+            self._inner.close()
+
+    def writable(self) -> bool:
+        return True
+
+    def readable(self) -> bool:
+        return False
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class SnappyReader:
+    """Read-mode SnappyStream: wraps a binary file object containing a
+    framed stream. Parity: SnappyStream.cs decompression mode
+    (ReadCore :194, pooled 8 KiB transfer buffer :16)."""
+
+    def __init__(
+        self,
+        inner,
+        leave_open: bool = False,
+        transfer_size: int = DEFAULT_TRANSFER_SIZE,
+    ) -> None:
+        self._inner = inner
+        self._leave_open = leave_open
+        self._transfer = transfer_size
+        self._decomp: StreamDecompressor | None = StreamDecompressor()
+        self._ready = bytearray()
+        self._eof = False
+
+    def _check_open(self) -> StreamDecompressor:
+        if self._decomp is None:
+            raise InvalidOperationError("stream is closed")
+        return self._decomp
+
+    def read(self, size: int = -1) -> bytes:
+        d = self._check_open()
+        while not self._eof and (size < 0 or len(self._ready) < size):
+            raw = self._inner.read(self._transfer)
+            if not raw:
+                self._eof = True
+                d.finish()
+                break
+            self._ready += d.decompress(raw)
+        if size < 0:
+            out = bytes(self._ready)
+            self._ready.clear()
+        else:
+            out = bytes(self._ready[:size])
+            del self._ready[:size]
+        return out
+
+    def readall(self) -> bytes:
+        return self.read(-1)
+
+    def close(self) -> None:
+        if self._decomp is None:
+            return
+        self._decomp = None
+        if not self._leave_open:
+            self._inner.close()
+
+    def readable(self) -> bool:
+        return True
+
+    def writable(self) -> bool:
+        return False
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

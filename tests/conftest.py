@@ -11,15 +11,28 @@ Must set env *before* jax is imported anywhere.
 import os
 import pathlib
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # overrides the ambient axon/TPU env
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax
 import numpy as np
 import pytest
+
+# This image pre-imports jax and pins an ambient TPU platform; the env
+# vars above may lose, so force the CPU platform through the config
+# (effective as long as no backend was initialized at import time).
+jax.config.update("jax_platforms", "cpu")
+
+# Persistent compile cache: XLA CPU compiles of the big fused kernels
+# take ~5-20s each; cache them across test runs.
+_CACHE_DIR = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
+_CACHE_DIR.mkdir(exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", str(_CACHE_DIR))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REFERENCE_DATA = pathlib.Path("/root/reference/Snappier.Tests/TestData")
 

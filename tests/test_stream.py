@@ -1,0 +1,128 @@
+"""Framing/stream API tests (SnappyStreamTests.cs parity)."""
+
+import io
+
+import numpy as np
+import pytest
+
+import snappier_tpu as st
+from snappier_tpu.constants import STREAM_HEADER
+from snappier_tpu.errors import InvalidDataError
+from snappier_tpu.format import framing
+from snappier_tpu.runtime.stream import (
+    SnappyReader,
+    SnappyWriter,
+    StreamCompressor,
+    StreamDecompressor,
+)
+from tests.conftest import GOLDEN_PAIRS, load_corpus_file
+
+
+def test_golden_stream_decompress():
+    for plain_name, golden_name in GOLDEN_PAIRS:
+        plain = load_corpus_file(plain_name)
+        golden = load_corpus_file(golden_name)
+        got = st.stream_decompress(golden)
+        if got != plain:
+            assert got.replace(b"\r\n", b"\n") == plain
+
+
+def test_stream_roundtrip_sizes_beat_reference():
+    for plain_name, golden_name in GOLDEN_PAIRS:
+        plain = load_corpus_file(plain_name)
+        golden = load_corpus_file(golden_name)
+        ours = st.stream_compress(plain)
+        assert st.stream_decompress(ours) == plain
+        assert len(ours) <= len(golden)
+
+
+def test_stream_roundtrip_multi_chunk():
+    data = load_corpus_file("html")  # > 64 KiB: multiple chunks
+    framed = st.stream_compress(data)
+    assert framed.startswith(STREAM_HEADER)
+    assert st.stream_decompress(framed) == data
+    # interop with the scalar framing oracle
+    assert framing.frame_decompress(framed) == data
+    assert st.stream_decompress(framing.frame_compress(data)) == data
+
+
+def test_uncompressed_fallback_shape():
+    """Random bytes don't shrink: expect header + 8-byte chunk overhead
+    + raw payload, exactly (SnappyStreamTests.cs:242-262)."""
+    rng = np.random.default_rng(42)
+    data = rng.integers(0, 256, 256, dtype=np.uint8).tobytes()
+    framed = st.stream_compress(data)
+    assert len(framed) == 10 + 8 + 256
+    assert framed[10] == 0x01  # UncompressedData chunk type
+    assert st.stream_decompress(framed) == data
+
+
+def test_incremental_writer_flush_chunks():
+    """Flush after every tiny write creates many chunks; decode must
+    resume mid-chunk (SnappyStreamTests.cs:145-192)."""
+    rng = np.random.default_rng(301)
+    comp = StreamCompressor()
+    framed = bytearray()
+    plain = bytearray()
+    for _ in range(50):
+        piece = rng.integers(0, 256, int(rng.integers(1, 100)), dtype=np.uint8).tobytes()
+        plain += piece
+        framed += comp.write(piece)
+        framed += comp.flush()
+    # feed back one byte at a time: exercises scratch-resume at every
+    # possible boundary
+    d = StreamDecompressor()
+    out = bytearray()
+    for i in range(len(framed)):
+        out += d.decompress(framed[i : i + 1])
+    d.finish()
+    assert bytes(out) == bytes(plain)
+
+
+def test_file_object_adapters():
+    data = load_corpus_file("alice29.txt")
+    sink = io.BytesIO()
+    with SnappyWriter(sink, leave_open=True) as w:
+        for i in range(0, len(data), 10000):
+            w.write(data[i : i + 10000])
+    framed = sink.getvalue()
+    with SnappyReader(io.BytesIO(framed)) as r:
+        assert r.read() == data
+    # sized reads
+    with SnappyReader(io.BytesIO(framed)) as r:
+        out = bytearray()
+        while True:
+            piece = r.read(777)
+            if not piece:
+                break
+            out += piece
+        assert bytes(out) == data
+
+
+def test_stream_errors():
+    data = b"hello framing world" * 100
+    framed = st.stream_compress(data)
+    # flip a payload byte -> CRC mismatch
+    bad = bytearray(framed)
+    bad[-1] ^= 0xFF
+    with pytest.raises(InvalidDataError):
+        st.stream_decompress(bytes(bad))
+    # missing header
+    with pytest.raises(InvalidDataError):
+        st.stream_decompress(framed[10:])
+    # truncated stream
+    with pytest.raises(InvalidDataError):
+        st.stream_decompress(framed[:-3])
+    # unknown unskippable chunk type
+    with pytest.raises(InvalidDataError):
+        st.stream_decompress(
+            framed[:10] + bytes([0x40, 1, 0, 0, 0]) + framed[10:]
+        )
+    # skippable + padding chunks are ignored
+    ok = framed[:10] + bytes([0xFE, 2, 0, 0, 0, 0]) + bytes([0x90, 1, 0, 0, 7]) + framed[10:]
+    assert st.stream_decompress(ok) == data
+
+
+def test_empty_stream():
+    assert st.stream_compress(b"") == STREAM_HEADER
+    assert st.stream_decompress(STREAM_HEADER) == b""
