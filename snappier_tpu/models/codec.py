@@ -44,9 +44,15 @@ class SnappyCodec:
         def fn(frags, lengths):
             frags = frags.astype(jnp.int32)
             lengths = lengths.astype(jnp.int32)
-            bodies, body_lens = jax.vmap(encode_block)(frags, lengths)
+            # lax.map, not vmap: the block kernels are built from sorts/
+            # gathers whose vmapped lowering is no faster than a serial
+            # loop on TPU, while map keeps the single-block kernel shape
+            # the backend compiles well.
+            bodies, body_lens = jax.lax.map(
+                lambda t: encode_block(*t), (frags, lengths)
+            )
             if self.with_crc:
-                crcs = jax.vmap(crc32c_block)(frags, lengths)
+                crcs = jax.lax.map(lambda t: crc32c_block(*t), (frags, lengths))
             else:
                 crcs = jnp.zeros_like(lengths)
             return bodies, body_lens, crcs
@@ -56,9 +62,10 @@ class SnappyCodec:
     @functools.cache
     def decompress_batch_fn(self, out_cap: int):
         def fn(comp, comp_lens):
-            return jax.vmap(
-                lambda c, n: decode_block(c, n, out_cap=out_cap)
-            )(comp.astype(jnp.int32), comp_lens.astype(jnp.int32))
+            return jax.lax.map(
+                lambda t: decode_block(t[0], t[1], out_cap=out_cap),
+                (comp.astype(jnp.int32), comp_lens.astype(jnp.int32)),
+            )
 
         return jax.jit(fn)
 
