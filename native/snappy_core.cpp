@@ -1,0 +1,338 @@
+// snappier_tpu native host runtime: scalar Snappy block codec + CRC32C.
+//
+// Role in the framework (SURVEY.md §2.3): the TPU owns the batched bulk
+// path; this library is the host-side engine for the latency path —
+// small buffers (where device dispatch overhead dominates), stream
+// state machines, and environments without an accelerator. Written
+// from scratch against the wire-format law in SURVEY.md §2.1
+// (reference behaviors cited per function); exposed via a C ABI for
+// ctypes.
+//
+// Build: g++ -O3 -shared -fPIC -o libsnappy_core.so snappy_core.cpp
+
+#include <cstdint>
+#include <cstring>
+#include <cstddef>
+
+namespace {
+
+constexpr size_t kBlockSize = 1 << 16;      // Constants.cs:26
+constexpr int kMaxHashBits = 14;            // HashTable.cs:14-18 upper bound
+constexpr uint32_t kHashMul = 0x1e35a7bd;   // HashTable.cs magic-multiply
+
+inline uint32_t load32(const uint8_t* p) {
+  uint32_t v;
+  std::memcpy(&v, p, 4);
+  return v;  // little-endian hosts only (x86/arm64)
+}
+
+inline uint64_t load64(const uint8_t* p) {
+  uint64_t v;
+  std::memcpy(&v, p, 8);
+  return v;
+}
+
+inline void store64(uint8_t* p, uint64_t v) { std::memcpy(p, &v, 8); }
+
+// Copy len bytes with 16-byte strides; may write up to 15 bytes of
+// slack past dst+len (callers guarantee slack headroom).
+inline void copy_sloppy(uint8_t* dst, const uint8_t* src, size_t len) {
+  for (size_t k = 0; k < len; k += 16) {
+    store64(dst + k, load64(src + k));
+    store64(dst + k + 8, load64(src + k + 8));
+  }
+}
+
+inline void store16(uint8_t* p, uint16_t v) { std::memcpy(p, &v, 2); }
+
+// --- emit helpers (wire law: SnappyCompressor.cs:417-543) -------------------
+
+inline uint8_t* emit_literal(uint8_t* op, const uint8_t* lit, size_t len) {
+  if (len == 0) return op;
+  if (len <= 60) {
+    *op++ = static_cast<uint8_t>((len - 1) << 2);
+  } else {
+    uint8_t* base = op++;
+    size_t count = 0;
+    size_t rem = len - 1;
+    while (rem > 0) {
+      *op++ = static_cast<uint8_t>(rem & 0xff);
+      rem >>= 8;
+      ++count;
+    }
+    *base = static_cast<uint8_t>((59 + count) << 2);
+  }
+  std::memcpy(op, lit, len);
+  return op + len;
+}
+
+inline uint8_t* emit_copy_upto64(uint8_t* op, size_t offset, size_t len) {
+  if (len <= 11 && offset < 2048) {
+    *op++ = static_cast<uint8_t>(1 | ((len - 4) << 2) | ((offset >> 8) << 5));
+    *op++ = static_cast<uint8_t>(offset & 0xff);
+  } else {
+    *op++ = static_cast<uint8_t>(2 | ((len - 1) << 2));
+    store16(op, static_cast<uint16_t>(offset));
+    op += 2;
+  }
+  return op;
+}
+
+inline uint8_t* emit_copy(uint8_t* op, size_t offset, size_t len) {
+  // Repeated 64s with the 64<len<68 split (SnappyCompressor.cs:516-543).
+  while (len >= 68) {
+    op = emit_copy_upto64(op, offset, 64);
+    len -= 64;
+  }
+  if (len > 64) {
+    op = emit_copy_upto64(op, offset, 60);
+    len -= 60;
+  }
+  return emit_copy_upto64(op, offset, len);
+}
+
+inline size_t match_length(const uint8_t* a, const uint8_t* b,
+                           const uint8_t* b_limit) {
+  // 8-byte XOR + count-trailing-zeros (FindMatchLengthX64,
+  // SnappyCompressor.cs:606-688).
+  size_t n = 0;
+  while (b + 8 <= b_limit) {
+    uint64_t x = load64(a + n) ^ load64(b);
+    if (x != 0) return n + (static_cast<size_t>(__builtin_ctzll(x)) >> 3);
+    n += 8;
+    b += 8;
+  }
+  while (b < b_limit && a[n] == *b) {
+    ++n;
+    ++b;
+  }
+  return n;
+}
+
+// One fragment (<= 64 KiB). Greedy with a 14-bit lossy hash table and
+// skip heuristic (CompressFragment, SnappyCompressor.cs:174-415).
+uint8_t* compress_fragment(const uint8_t* input, size_t n, uint8_t* op,
+                           uint16_t* table) {
+  std::memset(table, 0, sizeof(uint16_t) << kMaxHashBits);
+  const int shift = 32 - kMaxHashBits;
+  auto hash = [shift](uint32_t v) { return (v * kHashMul) >> shift; };
+
+  const uint8_t* ip = input;
+  const uint8_t* ip_end = input + n;
+  const uint8_t* lit_start = input;
+  if (n >= 16) {
+    const uint8_t* ip_limit = ip_end - 15;  // InputMarginBytes
+    uint32_t skip = 32;
+    ++ip;
+    while (ip < ip_limit) {
+      uint32_t cur = load32(ip);
+      uint32_t h = hash(cur);
+      const uint8_t* cand = input + table[h];
+      table[h] = static_cast<uint16_t>(ip - input);
+      if (cand < ip && load32(cand) == cur) {
+        skip = 32;
+        size_t len =
+            4 + match_length(cand + 4, ip + 4, ip_end);
+        op = emit_literal(op, lit_start, ip - lit_start);
+        op = emit_copy(op, ip - cand, len);
+        // Seed the table across the covered span (denser than the
+        // reference's 2-per-match for a better ratio at modest cost).
+        const uint8_t* end = ip + len;
+        const uint8_t* seed_end = end < ip_limit ? end : ip_limit;
+        for (const uint8_t* p = ip + 1; p + 4 <= seed_end; p += 2) {
+          table[hash(load32(p))] = static_cast<uint16_t>(p - input);
+        }
+        ip = end;
+        lit_start = end;
+        continue;
+      }
+      // Skip heuristic (SnappyCompressor.cs:315-341): stride stays 1
+      // for the first 32 misses, then grows every 32.
+      ip += skip++ >> 5;
+    }
+  }
+  return emit_literal(op, lit_start, ip_end - lit_start);
+}
+
+inline int write_varint32(uint8_t* p, uint32_t v) {
+  int i = 0;
+  while (v >= 0x80) {
+    p[i++] = static_cast<uint8_t>(v | 0x80);
+    v >>= 7;
+  }
+  p[i++] = static_cast<uint8_t>(v);
+  return i;
+}
+
+// --- CRC32C (Castagnoli, reflected; slicing-by-8) ---------------------------
+
+uint32_t crc_table[8][256];
+bool crc_init_done = false;
+
+void crc_init() {
+  for (uint32_t i = 0; i < 256; ++i) {
+    uint32_t c = i;
+    for (int k = 0; k < 8; ++k) c = (c & 1) ? (c >> 1) ^ 0x82f63b78u : c >> 1;
+    crc_table[0][i] = c;
+  }
+  for (int t = 1; t < 8; ++t)
+    for (uint32_t i = 0; i < 256; ++i)
+      crc_table[t][i] =
+          (crc_table[t - 1][i] >> 8) ^ crc_table[0][crc_table[t - 1][i] & 0xff];
+  crc_init_done = true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Error codes shared with snappier_tpu.errors.
+enum {
+  STPU_OK = 0,
+  STPU_INVALID_DATA = 1,
+  STPU_BUFFER_TOO_SMALL = 2,
+};
+
+size_t stpu_max_compressed_length(size_t n) {
+  return 32 + n + n / 6 + 1 + 5;  // Helpers.cs:17-49 + varint slack
+}
+
+int stpu_compress(const uint8_t* input, size_t n, uint8_t* out,
+                  size_t out_cap, size_t* out_len) {
+  if (out_cap < stpu_max_compressed_length(n)) return STPU_BUFFER_TOO_SMALL;
+  if (n > 0xffffffffu) return STPU_INVALID_DATA;
+  uint16_t table[1u << kMaxHashBits];
+  uint8_t* op = out + write_varint32(out, static_cast<uint32_t>(n));
+  for (size_t start = 0; start < n; start += kBlockSize) {
+    size_t frag = n - start < kBlockSize ? n - start : kBlockSize;
+    op = compress_fragment(input + start, frag, op, table);
+  }
+  *out_len = static_cast<size_t>(op - out);
+  return STPU_OK;
+}
+
+int stpu_uncompressed_length(const uint8_t* input, size_t n, uint64_t* val) {
+  uint64_t v = 0;
+  for (int i = 0; i < 5; ++i) {
+    if (static_cast<size_t>(i) >= n) return STPU_INVALID_DATA;
+    uint8_t b = input[i];
+    v |= static_cast<uint64_t>(b & 0x7f) << (7 * i);
+    if (!(b & 0x80)) {
+      if (v > 0xffffffffu) return STPU_INVALID_DATA;
+      *val = v;
+      return STPU_OK;
+    }
+  }
+  return STPU_INVALID_DATA;
+}
+
+// Strict decoder (DecompressAllTags semantics, SnappyDecompressor.cs
+// :184-347 with bounds checks :570-606).
+//
+// `out_cap` must be >= expected + 64: tag-granular copies use sloppy
+// 16-byte strides and pattern doubling that spill tens of bytes past
+// the logical end (the Python wrapper allocates the slack).
+int stpu_decompress(const uint8_t* input, size_t n, uint8_t* out,
+                    size_t out_cap, size_t* out_len) {
+  uint64_t expected64 = 0;
+  if (stpu_uncompressed_length(input, n, &expected64) != STPU_OK)
+    return STPU_INVALID_DATA;
+  size_t expected = static_cast<size_t>(expected64);
+  if (out_cap < expected + 64) return STPU_BUFFER_TOO_SMALL;
+  size_t ip = 0;
+  while (input[ip] & 0x80) ++ip;
+  ++ip;
+
+  size_t op = 0;
+  while (ip < n) {
+    const uint8_t tag = input[ip];
+    const uint32_t type = tag & 3;
+    if (type == 0) {  // literal
+      size_t len;
+      size_t hdr = 1;
+      uint32_t len6 = tag >> 2;
+      if (len6 < 60) {
+        len = len6 + 1;
+      } else {
+        size_t extra = len6 - 59;
+        if (ip + 1 + extra > n) return STPU_INVALID_DATA;
+        uint64_t l = 0;
+        for (size_t k = 0; k < extra; ++k)
+          l |= static_cast<uint64_t>(input[ip + 1 + k]) << (8 * k);
+        len = static_cast<size_t>(l) + 1;
+        hdr += extra;
+      }
+      if (ip + hdr + len > n) return STPU_INVALID_DATA;
+      if (op + len > expected) return STPU_INVALID_DATA;
+      if (len <= 16 && ip + hdr + 16 <= n) {
+        copy_sloppy(out + op, input + ip + hdr, len);
+      } else {
+        std::memcpy(out + op, input + ip + hdr, len);
+      }
+      ip += hdr + len;
+      op += len;
+      continue;
+    }
+    size_t len, offset, hdr;
+    if (type == 1) {
+      if (ip + 2 > n) return STPU_INVALID_DATA;
+      len = ((tag >> 2) & 7) + 4;
+      offset = (static_cast<size_t>(tag >> 5) << 8) | input[ip + 1];
+      hdr = 2;
+    } else if (type == 2) {
+      if (ip + 3 > n) return STPU_INVALID_DATA;
+      len = (tag >> 2) + 1;
+      offset = input[ip + 1] | (static_cast<size_t>(input[ip + 2]) << 8);
+      hdr = 3;
+    } else {
+      if (ip + 5 > n) return STPU_INVALID_DATA;
+      len = (tag >> 2) + 1;
+      offset = static_cast<size_t>(load32(input + ip + 1));
+      hdr = 5;
+    }
+    if (offset == 0 || offset > op) return STPU_INVALID_DATA;
+    if (op + len > expected) return STPU_INVALID_DATA;
+    uint8_t* dst = out + op;
+    const uint8_t* src = dst - offset;
+    if (offset >= 16) {
+      copy_sloppy(dst, src, len);  // slack makes strided copy safe
+    } else if (offset >= len) {
+      std::memcpy(dst, src, len);
+    } else {
+      // Overlapping pattern (IncrementalCopy, CopyHelpers.cs:64-219):
+      // seed one period from prior output, double it to >= 16 bytes,
+      // then stride (reader trails writer by >= 16). May write < 32
+      // bytes past dst+len; the slack requirement covers it.
+      std::memcpy(dst, src, offset);
+      size_t filled = offset;
+      while (filled < 16 && filled < len) {
+        std::memcpy(dst + filled, dst, filled);
+        filled += filled;
+      }
+      if (len > filled) copy_sloppy(dst + filled, dst, len - filled);
+    }
+    ip += hdr;
+    op += len;
+  }
+  if (op != expected) return STPU_INVALID_DATA;
+  *out_len = op;
+  return STPU_OK;
+}
+
+uint32_t stpu_crc32c(const uint8_t* data, size_t n, uint32_t crc) {
+  if (!crc_init_done) crc_init();
+  uint32_t c = crc ^ 0xffffffffu;
+  size_t i = 0;
+  for (; i + 8 <= n; i += 8) {
+    c ^= load32(data + i);
+    uint32_t hi = load32(data + i + 4);
+    c = crc_table[7][c & 0xff] ^ crc_table[6][(c >> 8) & 0xff] ^
+        crc_table[5][(c >> 16) & 0xff] ^ crc_table[4][c >> 24] ^
+        crc_table[3][hi & 0xff] ^ crc_table[2][(hi >> 8) & 0xff] ^
+        crc_table[1][(hi >> 16) & 0xff] ^ crc_table[0][hi >> 24];
+  }
+  for (; i < n; ++i) c = (c >> 8) ^ crc_table[0][(c ^ data[i]) & 0xff];
+  return c ^ 0xffffffffu;
+}
+
+}  // extern "C"

@@ -57,13 +57,19 @@ def _as_u8(data) -> np.ndarray:
 
 @functools.cache
 def _encode_batch_fn():
-    return jax.jit(jax.vmap(encode_block))
+    # lax.map, not vmap: vmapped sort/gather lowering gives no
+    # amortization on TPU; map keeps the well-compiled per-block shape.
+    return jax.jit(
+        lambda fs, ls: jax.lax.map(lambda t: encode_block(*t), (fs, ls))
+    )
 
 
 @functools.cache
 def _decode_batch_fn(out_cap: int):
     return jax.jit(
-        jax.vmap(lambda c, n: decode_block(c, n, out_cap=out_cap))
+        lambda cs, ns: jax.lax.map(
+            lambda t: decode_block(t[0], t[1], out_cap=out_cap), (cs, ns)
+        )
     )
 
 
@@ -104,11 +110,34 @@ def decompress_blocks(comp: np.ndarray, comp_lens: np.ndarray, out_cap: int):
 
 
 # --- Public single-buffer API (Snappy.cs facade parity) ---------------------
+#
+# Engine selection: "tpu" = batched device kernels (the bulk path),
+# "native" = C++ host runtime (the latency path; beats the reference's
+# own single-core numbers), "oracle" = NumPy scalar (always available).
+# "auto" prefers native for host-call ergonomics and falls back through
+# oracle; batch/sharded entry points always use the device.
 
 
-def compress(data) -> bytes:
+def _pick_engine(engine: str) -> str:
+    if engine != "auto":
+        return engine
+    from snappier_tpu.runtime import native
+
+    return "native" if native.available() else "tpu"
+
+
+def compress(data, engine: str = "auto") -> bytes:
     """Compress a buffer in the Snappy block format.
     Parity: ``Snappy.CompressToArray`` (Snappy.cs:123)."""
+    engine = _pick_engine(engine)
+    if engine == "native":
+        from snappier_tpu.runtime import native
+
+        return native.compress(bytes(_as_u8(data)))
+    if engine == "oracle":
+        from snappier_tpu.format import oracle
+
+        return oracle.compress(_as_u8(data))
     arr = _as_u8(data)
     n = len(arr)
     nfrags = max(1, -(-n // BLOCK_SIZE))
@@ -127,10 +156,19 @@ def compress(data) -> bytes:
     return bytes(out)
 
 
-def decompress(data) -> bytes:
+def decompress(data, engine: str = "auto") -> bytes:
     """Decompress a Snappy block-format buffer.
     Parity: ``Snappy.DecompressToArray`` (Snappy.cs:273). Raises
     :class:`InvalidDataError` on malformed input."""
+    engine = _pick_engine(engine)
+    if engine == "native":
+        from snappier_tpu.runtime import native
+
+        return native.decompress(bytes(_as_u8(data)))
+    if engine == "oracle":
+        from snappier_tpu.format import oracle
+
+        return oracle.decompress(_as_u8(data))
     arr = _as_u8(data)
     expected, _ = read_varint(arr)  # validates the preamble host-side
     if expected > 32 * len(arr) + 64:
@@ -157,10 +195,10 @@ def get_max_compressed_length(n: int) -> int:
     return max_compressed_length(n)
 
 
-def compress_into(data, out) -> int:
+def compress_into(data, out, engine: str = "auto") -> int:
     """Compress into a caller buffer; returns bytes written.
     Parity: ``Snappy.Compress(input, output)`` (Snappy.cs:37)."""
-    comp = compress(data)
+    comp = compress(data, engine=engine)
     if len(out) < len(comp):
         raise BufferTooSmallError(
             f"need {len(comp)} bytes, destination holds {len(out)}"
@@ -169,19 +207,19 @@ def compress_into(data, out) -> int:
     return len(comp)
 
 
-def try_compress(data, out) -> tuple[bool, int]:
+def try_compress(data, out, engine: str = "auto") -> tuple[bool, int]:
     """Parity: ``Snappy.TryCompress`` (Snappy.cs:55)."""
-    comp = compress(data)
+    comp = compress(data, engine=engine)
     if len(out) < len(comp):
         return False, 0
     out[: len(comp)] = comp
     return True, len(comp)
 
 
-def decompress_into(data, out) -> int:
+def decompress_into(data, out, engine: str = "auto") -> int:
     """Decompress into a caller buffer; returns bytes written.
     Parity: ``Snappy.Decompress(input, output)`` (Snappy.cs:153)."""
-    plain = decompress(data)
+    plain = decompress(data, engine=engine)
     if len(out) < len(plain):
         raise BufferTooSmallError(
             f"need {len(plain)} bytes, destination holds {len(out)}"
@@ -190,10 +228,10 @@ def decompress_into(data, out) -> int:
     return len(plain)
 
 
-def try_decompress(data, out) -> tuple[bool, int]:
+def try_decompress(data, out, engine: str = "auto") -> tuple[bool, int]:
     """Parity: ``Snappy.TryDecompress`` (Snappy.cs:172). Malformed
     input still raises; only an undersized destination returns False."""
-    plain = decompress(data)
+    plain = decompress(data, engine=engine)
     if len(out) < len(plain):
         return False, 0
     out[: len(plain)] = plain

@@ -1,0 +1,226 @@
+"""Incremental block-format decompressor — resumable at any byte
+boundary.
+
+Parity target: the reference's ``SnappyDecompressor`` streaming
+contract (SnappyDecompressor.cs): repeated ``Decompress(chunk)`` calls
+with arbitrary input splits, a 5-byte scratch for tags/varints split
+across feeds (:11-31, :428-495), ``_remainingLiteral`` for literal
+payloads spanning feeds (:29, 290-297), ``ExpectedLength`` /
+``AllDataDecompressed`` / ``ExtractData`` lifecycle (:497-673). Used by
+the framing layer and the ``decompress_iter`` API
+(``Snappy.Decompress(ReadOnlySequence)`` analog, Snappy.cs:194-212).
+
+This is a host path by design (SURVEY.md §5.4): byte-granular resume
+semantics are kept host-side; device work stays block-granular.
+"""
+
+from __future__ import annotations
+
+from snappier_tpu.constants import (
+    MAX_SHORT_LITERAL,
+    TAG_COPY1,
+    TAG_COPY2,
+    TAG_LITERAL,
+)
+from snappier_tpu.errors import InvalidDataError, InvalidOperationError
+
+_MAX_PLAUSIBLE = 1 << 32
+
+
+class BlockDecompressor:
+    """Feed compressed block-format bytes in arbitrary pieces; decoded
+    output accumulates and can be drained with :meth:`read` or taken
+    whole with :meth:`extract_data`."""
+
+    def __init__(self) -> None:
+        self._pre = bytearray()  # varint preamble scratch
+        self._expected: int | None = None
+        self._out = bytearray()
+        self._tail = b""  # incomplete tag bytes (<= 5, or tag+partial lit)
+        self._remaining_literal = 0
+        self._read_pos = 0
+        self._extracted = False
+
+    # -- properties mirroring SnappyDecompressor ------------------------
+
+    @property
+    def expected_length(self) -> int | None:
+        """Uncompressed length from the preamble, once available
+        (SnappyDecompressor.cs ExpectedLength)."""
+        return self._expected
+
+    @property
+    def all_data_decompressed(self) -> bool:
+        """True once the full promised output has been produced."""
+        return self._expected is not None and len(self._out) == self._expected
+
+    # -- feeding ---------------------------------------------------------
+
+    def _feed_preamble(self, data: bytes, pos: int) -> int:
+        while self._expected is None and pos < len(data):
+            b = data[pos]
+            pos += 1
+            self._pre.append(b)
+            if not (b & 0x80):
+                value = 0
+                for i, pb in enumerate(self._pre):
+                    value |= (pb & 0x7F) << (7 * i)
+                if value >= _MAX_PLAUSIBLE:
+                    raise InvalidDataError("varint32 overflow")
+                self._expected = value
+                return pos
+            if len(self._pre) >= 5:
+                raise InvalidDataError("varint32 longer than 5 bytes")
+        return pos
+
+    def decompress(self, chunk) -> int:
+        """Consume ``chunk``; returns the count of newly produced
+        output bytes. Raises on malformed data."""
+        if self._extracted:
+            raise InvalidOperationError("decompressor already drained")
+        data = bytes(chunk)
+        produced0 = len(self._out)
+        pos = 0
+        if self._expected is None:
+            pos = self._feed_preamble(data, pos)
+            if self._expected is None:
+                return 0
+        if self._tail:
+            data = self._tail + data[pos:]
+            self._tail = b""
+            pos = 0
+
+        out = self._out
+        expected = self._expected
+        n = len(data)
+        # Pending literal payload from the previous feed.
+        if self._remaining_literal:
+            take = min(self._remaining_literal, n - pos)
+            out += data[pos : pos + take]
+            self._remaining_literal -= take
+            pos += take
+
+        while pos < n:
+            tag = data[pos]
+            tag_type = tag & 3
+            if tag_type == TAG_LITERAL:
+                len6 = tag >> 2
+                if len6 < MAX_SHORT_LITERAL:
+                    length = len6 + 1
+                    hdr = 1
+                else:
+                    extra = len6 - 59
+                    if pos + 1 + extra > n:
+                        break  # split descriptor -> scratch
+                    length = (
+                        int.from_bytes(data[pos + 1 : pos + 1 + extra], "little")
+                        + 1
+                    )
+                    hdr = 1 + extra
+                if len(out) + length > expected:
+                    raise InvalidDataError("literal overruns output")
+                avail = min(length, n - pos - hdr)
+                out += data[pos + hdr : pos + hdr + avail]
+                if avail < length:
+                    # Literal spans feeds (_remainingLiteral semantics).
+                    self._remaining_literal = length - avail
+                    pos = n
+                    break
+                pos += hdr + length
+                continue
+            if tag_type == TAG_COPY1:
+                need = 2
+            elif tag_type == TAG_COPY2:
+                need = 3
+            else:
+                need = 5
+            if pos + need > n:
+                break  # split tag -> scratch
+            if tag_type == TAG_COPY1:
+                length = ((tag >> 2) & 0x7) + 4
+                offset = ((tag >> 5) << 8) | data[pos + 1]
+            elif tag_type == TAG_COPY2:
+                length = (tag >> 2) + 1
+                offset = int.from_bytes(data[pos + 1 : pos + 3], "little")
+            else:
+                length = (tag >> 2) + 1
+                offset = int.from_bytes(data[pos + 1 : pos + 5], "little")
+            opos = len(out)
+            if offset == 0 or offset > opos:
+                raise InvalidDataError("copy offset out of range")
+            if opos + length > expected:
+                raise InvalidDataError("copy overruns output")
+            src = opos - offset
+            if offset >= length:
+                out += out[src : src + length]
+            else:
+                for i in range(length):
+                    out.append(out[src + i])
+            pos += need
+
+        if pos < n:
+            self._tail = bytes(data[pos:])
+            if len(self._tail) > 8 and self._remaining_literal == 0:
+                # A complete tag always fits in 5 bytes + its literal
+                # payload, which we consume eagerly; a long stuck tail
+                # means corruption.
+                raise InvalidDataError("unparseable tag sequence")
+        if (
+            self.all_data_decompressed
+            and (self._tail or self._remaining_literal)
+        ):
+            raise InvalidDataError("trailing data after promised output")
+        return len(self._out) - produced0
+
+    # -- draining --------------------------------------------------------
+
+    def read(self, size: int = -1) -> bytes:
+        """Drain up to ``size`` decoded bytes (SnappyDecompressor.Read)."""
+        if size < 0:
+            size = len(self._out) - self._read_pos
+        out = bytes(self._out[self._read_pos : self._read_pos + size])
+        self._read_pos += len(out)
+        return out
+
+    def extract_data(self) -> bytes:
+        """Take the complete decoded buffer; only valid once all data
+        has been decompressed and nothing was drained via :meth:`read`
+        (SnappyDecompressor.ExtractData lifecycle, :640-673)."""
+        if not self.all_data_decompressed:
+            raise InvalidOperationError("stream not fully decompressed yet")
+        if self._read_pos:
+            raise InvalidOperationError("cannot extract after partial reads")
+        if self._extracted:
+            raise InvalidOperationError("already extracted")
+        self._extracted = True
+        return bytes(self._out)
+
+    def finish(self) -> None:
+        """Assert completion (no dangling tag bytes, full output)."""
+        if self._tail or self._remaining_literal:
+            raise InvalidDataError("truncated compressed stream")
+        if self._expected is None:
+            raise InvalidDataError("truncated varint length preamble")
+        if not self.all_data_decompressed:
+            raise InvalidDataError(
+                f"decoded {len(self._out)} of {self._expected} promised bytes"
+            )
+
+
+def decompress_iter(chunks) -> bytes:
+    """Decompress a block-format stream supplied as an iterable of
+    byte chunks (``Snappy.Decompress(ReadOnlySequence)`` analog)."""
+    d = BlockDecompressor()
+    for c in chunks:
+        d.decompress(c)
+    d.finish()
+    return d.extract_data()
+
+
+def compress_iter(chunks, engine: str = "auto") -> bytes:
+    """Compress the logical concatenation of an iterable of byte chunks
+    (``Snappy.Compress(ReadOnlySequence, IBufferWriter)`` analog,
+    Snappy.cs:82-97)."""
+    from snappier_tpu.runtime import block as block_rt
+
+    return block_rt.compress(b"".join(bytes(c) for c in chunks), engine=engine)

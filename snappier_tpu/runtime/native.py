@@ -1,0 +1,155 @@
+"""ctypes bindings to the C++ host runtime (``native/snappy_core.cpp``).
+
+The native engine serves the latency path of the framework: buffers
+small enough that device dispatch overhead dominates, the byte-fiddling
+side of stream state machines, and hosts without an accelerator. The
+library is built on demand with the system compiler (no pip deps) and
+all entry points degrade gracefully to the NumPy oracle when a
+toolchain is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import pathlib
+import subprocess
+import threading
+
+from snappier_tpu.errors import BufferTooSmallError, InvalidDataError
+
+_NATIVE_DIR = pathlib.Path(__file__).resolve().parent.parent.parent / "native"
+_SO = _NATIVE_DIR / "libsnappy_core.so"
+
+_lock = threading.Lock()
+_lib = None
+_load_failed = False
+
+_OK, _INVALID, _TOO_SMALL = 0, 1, 2
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-s", "libsnappy_core.so"],
+            cwd=_NATIVE_DIR,
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def load():
+    """The loaded library, or None if unavailable."""
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _load_failed:
+            return _lib
+        if not _SO.exists() and not _build():
+            _load_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(str(_SO))
+        except OSError:
+            _load_failed = True
+            return None
+        lib.stpu_max_compressed_length.restype = ctypes.c_size_t
+        lib.stpu_max_compressed_length.argtypes = [ctypes.c_size_t]
+        lib.stpu_compress.restype = ctypes.c_int
+        lib.stpu_compress.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_size_t),
+        ]
+        lib.stpu_decompress.restype = ctypes.c_int
+        lib.stpu_decompress.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_size_t),
+        ]
+        lib.stpu_uncompressed_length.restype = ctypes.c_int
+        lib.stpu_uncompressed_length.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_uint64),
+        ]
+        lib.stpu_crc32c.restype = ctypes.c_uint32
+        lib.stpu_crc32c.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.c_uint32,
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def compress(data: bytes) -> bytes:
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable")
+    data = bytes(data)
+    cap = lib.stpu_max_compressed_length(len(data))
+    out = (ctypes.c_uint8 * cap)()
+    out_len = ctypes.c_size_t()
+    rc = lib.stpu_compress(data, len(data), out, cap, ctypes.byref(out_len))
+    if rc != _OK:
+        raise InvalidDataError(f"native compress failed rc={rc}")
+    return ctypes.string_at(out, out_len.value)
+
+
+def decompress(data: bytes) -> bytes:
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable")
+    data = bytes(data)
+    val = ctypes.c_uint64()
+    rc = lib.stpu_uncompressed_length(data, len(data), ctypes.byref(val))
+    if rc != _OK:
+        raise InvalidDataError("bad length preamble")
+    expected = val.value
+    if expected > 32 * len(data) + 64:
+        raise InvalidDataError("length preamble exceeds possible expansion")
+    # +64 slack: the native decoder's wide copies spill past the
+    # logical end (see snappy_core.cpp stpu_decompress contract).
+    out = (ctypes.c_uint8 * (expected + 64))()
+    out_len = ctypes.c_size_t()
+    rc = lib.stpu_decompress(
+        data, len(data), out, expected + 64, ctypes.byref(out_len)
+    )
+    if rc == _INVALID:
+        raise InvalidDataError("malformed snappy block data")
+    if rc == _TOO_SMALL:
+        raise BufferTooSmallError("output buffer too small")
+    return ctypes.string_at(out, out_len.value)
+
+
+def crc32c(data: bytes, crc: int = 0) -> int:
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable")
+    data = bytes(data)
+    return int(lib.stpu_crc32c(data, len(data), crc))
+
+
+def get_uncompressed_length(data: bytes) -> int:
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable")
+    data = bytes(data)
+    val = ctypes.c_uint64()
+    rc = lib.stpu_uncompressed_length(data, len(data), ctypes.byref(val))
+    if rc != _OK:
+        raise InvalidDataError("bad length preamble")
+    return val.value

@@ -61,9 +61,44 @@ def _pow2_batch(b: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _compress_chunks_batched(chunks: list[bytes]) -> list[bytes]:
-    """Compress a list of <= 64 KiB chunks on device in one batch;
-    returns full framed data-chunk bytes (header + CRC + payload)."""
+def _frame_data_chunk(chunk: bytes, comp: bytes, checksum: bytes) -> bytes:
+    if len(comp) < len(chunk):
+        return (
+            write_chunk_header(CHUNK_COMPRESSED_DATA, 4 + len(comp))
+            + checksum
+            + comp
+        )
+    # Incompressibility fallback (SnappyStreamCompressor.cs:213-229).
+    return (
+        write_chunk_header(CHUNK_UNCOMPRESSED_DATA, 4 + len(chunk))
+        + checksum
+        + chunk
+    )
+
+
+def _compress_chunks_batched(
+    chunks: list[bytes], engine: str = "auto"
+) -> list[bytes]:
+    """Compress a list of <= 64 KiB chunks (batched on device, or via
+    the native host engine); returns full framed data-chunk bytes
+    (header + CRC + payload)."""
+    from snappier_tpu.runtime.block import _pick_engine
+
+    engine = _pick_engine(engine)
+    if engine in ("native", "oracle"):
+        if engine == "native":
+            from snappier_tpu.runtime import native as eng
+
+            crc_fn = eng.crc32c
+        else:
+            from snappier_tpu.format import oracle as eng
+
+            crc_fn = crc32c
+        out = []
+        for c in chunks:
+            checksum = mask_crc(crc_fn(c)).to_bytes(4, "little")
+            out.append(_frame_data_chunk(c, eng.compress(c), checksum))
+        return out
     bsz = _pow2_batch(len(chunks))
     frags = np.zeros((bsz, BLOCK_SIZE), np.int32)
     lengths = np.zeros(bsz, np.int32)
@@ -80,27 +115,33 @@ def _compress_chunks_batched(chunks: list[bytes]) -> list[bytes]:
         comp = write_varint(len(c)) + bodies[i, : int(body_lens[i])].astype(
             np.uint8
         ).tobytes()
-        if len(comp) < len(c):
-            out.append(
-                write_chunk_header(CHUNK_COMPRESSED_DATA, 4 + len(comp))
-                + checksum
-                + comp
-            )
-        else:
-            # Incompressibility fallback (SnappyStreamCompressor.cs:213-229).
-            out.append(
-                write_chunk_header(CHUNK_UNCOMPRESSED_DATA, 4 + len(c))
-                + checksum
-                + c
-            )
+        out.append(_frame_data_chunk(c, comp, checksum))
     return out
 
 
-def _decompress_chunks_batched(payloads: list[bytes]) -> list[bytes]:
+def _decompress_chunks_batched(
+    payloads: list[bytes], engine: str = "auto"
+) -> list[bytes]:
     """Decode a list of compressed data-chunk payloads (block-format
-    buffers, each <= 64 KiB uncompressed) in one device batch."""
+    buffers, each <= 64 KiB uncompressed) in one device batch, or via
+    the host engines."""
     if not payloads:
         return []
+    from snappier_tpu.runtime.block import _pick_engine
+
+    engine = _pick_engine(engine)
+    if engine in ("native", "oracle"):
+        if engine == "native":
+            from snappier_tpu.runtime import native as eng
+        else:
+            from snappier_tpu.format import oracle as eng
+        out = []
+        for p in payloads:
+            expected, _ = read_varint(p)
+            if expected > MAX_CHUNK_UNCOMPRESSED:
+                raise InvalidDataError("chunk exceeds 64 KiB uncompressed cap")
+            out.append(eng.decompress(p))
+        return out
     for p in payloads:
         expected, _ = read_varint(p)
         if expected > MAX_CHUNK_UNCOMPRESSED:
@@ -128,20 +169,20 @@ def _decompress_chunks_batched(payloads: list[bytes]) -> list[bytes]:
     return result
 
 
-def stream_compress(data: bytes) -> bytes:
-    """One-shot framing-format compress (batched on device)."""
+def stream_compress(data: bytes, engine: str = "auto") -> bytes:
+    """One-shot framing-format compress (batched on device, or via the
+    native host engine)."""
     data = bytes(data)
     chunks = [
         data[i : i + MAX_CHUNK_UNCOMPRESSED]
         for i in range(0, len(data), MAX_CHUNK_UNCOMPRESSED)
     ]
-    return b"".join([STREAM_HEADER] + _compress_chunks_batched(chunks))
+    return b"".join([STREAM_HEADER] + _compress_chunks_batched(chunks, engine))
 
 
-def stream_decompress(data: bytes) -> bytes:
-    """One-shot framing-format decompress (batched on device) with full
-    CRC verification."""
-    d = StreamDecompressor()
+def stream_decompress(data: bytes, engine: str = "auto") -> bytes:
+    """One-shot framing-format decompress with full CRC verification."""
+    d = StreamDecompressor(engine=engine)
     out = d.decompress(bytes(data))
     d.finish()
     return out
@@ -158,9 +199,10 @@ class StreamCompressor:
     chunk, matching SnappyStreamCompressor.Flush :82 — tests exploit
     this to create many tiny chunks, SnappyStreamTests.cs:158-192)."""
 
-    def __init__(self) -> None:
+    def __init__(self, engine: str = "auto") -> None:
         self._buf = bytearray()
         self._header_written = False
+        self._engine = engine
 
     def _header(self) -> bytes:
         if self._header_written:
@@ -177,7 +219,9 @@ class StreamCompressor:
         while len(self._buf) >= MAX_CHUNK_UNCOMPRESSED:
             chunks.append(bytes(self._buf[:MAX_CHUNK_UNCOMPRESSED]))
             del self._buf[:MAX_CHUNK_UNCOMPRESSED]
-        return self._header() + b"".join(_compress_chunks_batched(chunks))
+        return self._header() + b"".join(
+            _compress_chunks_batched(chunks, self._engine)
+        )
 
     def flush(self) -> bytes:
         """Seal the current partial chunk, if any."""
@@ -185,7 +229,7 @@ class StreamCompressor:
         if self._buf:
             chunk = bytes(self._buf)
             self._buf.clear()
-            out += _compress_chunks_batched([chunk])[0]
+            out += _compress_chunks_batched([chunk], self._engine)[0]
         return out
 
 
@@ -195,9 +239,10 @@ class StreamDecompressor:
     (subsumes SnappyStreamDecompressor's scratch machinery,
     SnappyStreamDecompressor.cs:11-36, 215-289)."""
 
-    def __init__(self) -> None:
+    def __init__(self, engine: str = "auto") -> None:
         self._pending = bytearray()
         self._seen_header = False
+        self._engine = engine
 
     def decompress(self, data: bytes) -> bytes:
         """Feed framed bytes; returns decoded bytes available so far."""
@@ -255,7 +300,7 @@ class StreamDecompressor:
                     f"unknown unskippable chunk type 0x{ctype:02x}"
                 )
         del self._pending[:pos]
-        decoded = _decompress_chunks_batched(payloads)
+        decoded = _decompress_chunks_batched(payloads, self._engine)
         ci = 0
         out = bytearray()
         for kind, v in order:
@@ -287,10 +332,12 @@ class SnappyWriter:
     framing format. Parity: SnappyStream.cs compression mode
     (ctor :55, WriteCore :381, Flush :135, Dispose :486)."""
 
-    def __init__(self, inner, leave_open: bool = False) -> None:
+    def __init__(
+        self, inner, leave_open: bool = False, engine: str = "auto"
+    ) -> None:
         self._inner = inner
         self._leave_open = leave_open
-        self._comp: StreamCompressor | None = StreamCompressor()
+        self._comp: StreamCompressor | None = StreamCompressor(engine=engine)
 
     def _check_open(self) -> StreamCompressor:
         if self._comp is None:
@@ -343,11 +390,14 @@ class SnappyReader:
         inner,
         leave_open: bool = False,
         transfer_size: int = DEFAULT_TRANSFER_SIZE,
+        engine: str = "auto",
     ) -> None:
         self._inner = inner
         self._leave_open = leave_open
         self._transfer = transfer_size
-        self._decomp: StreamDecompressor | None = StreamDecompressor()
+        self._decomp: StreamDecompressor | None = StreamDecompressor(
+            engine=engine
+        )
         self._ready = bytearray()
         self._eof = False
 

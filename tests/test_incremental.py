@@ -1,0 +1,116 @@
+"""Incremental block-decompressor tests — the reference's
+SnappyDecompressorTests (byte-at-a-time varint feed :10-35, scratch
+resume :42-58, ExtractData lifecycle :64-160)."""
+
+import numpy as np
+import pytest
+
+from snappier_tpu.errors import InvalidDataError, InvalidOperationError
+from snappier_tpu.format import oracle
+from snappier_tpu.runtime.incremental import (
+    BlockDecompressor,
+    compress_iter,
+    decompress_iter,
+)
+from tests.conftest import load_corpus_file
+
+
+def test_varint_byte_at_a_time():
+    comp = oracle.compress(b"hello incremental world")
+    d = BlockDecompressor()
+    for i in range(len(comp)):
+        d.decompress(comp[i : i + 1])
+        if i == 0:
+            assert d.expected_length == 23
+    assert d.all_data_decompressed
+    assert d.extract_data() == b"hello incremental world"
+
+
+def test_every_split_point():
+    data = b"abcabcabcabc" * 30 + bytes(100) + b"tail"
+    comp = oracle.compress(data)
+    for split in range(1, len(comp)):
+        d = BlockDecompressor()
+        d.decompress(comp[:split])
+        d.decompress(comp[split:])
+        d.finish()
+        assert d.extract_data() == data, split
+
+
+def test_large_corpus_chunked_feed():
+    data = load_corpus_file("html")
+    comp = oracle.compress(data)
+    d = BlockDecompressor()
+    rng = np.random.default_rng(7)
+    pos = 0
+    while pos < len(comp):
+        step = int(rng.integers(1, 5000))
+        d.decompress(comp[pos : pos + step])
+        pos += step
+    d.finish()
+    assert d.extract_data() == data
+
+
+def test_long_literal_spanning_feeds():
+    data = np.random.default_rng(1).integers(0, 256, 70000, np.uint8).tobytes()
+    comp = oracle.compress(data)  # long literals with extra length bytes
+    d = BlockDecompressor()
+    for i in range(0, len(comp), 17):
+        d.decompress(comp[i : i + 17])
+    assert d.extract_data() == data
+
+
+def test_read_drain():
+    data = b"drain me " * 1000
+    comp = oracle.compress(data)
+    d = BlockDecompressor()
+    d.decompress(comp)
+    out = bytearray()
+    while True:
+        piece = d.read(123)
+        if not piece:
+            break
+        out += piece
+    assert bytes(out) == data
+    with pytest.raises(InvalidOperationError):
+        d.extract_data()  # partial reads forbid extraction
+
+
+def test_lifecycle_errors():
+    d = BlockDecompressor()
+    with pytest.raises(InvalidOperationError):
+        d.extract_data()  # nothing decompressed yet
+    comp = oracle.compress(b"xy")
+    d.decompress(comp)
+    assert d.extract_data() == b"xy"
+    with pytest.raises(InvalidOperationError):
+        d.extract_data()  # double extract
+    with pytest.raises(InvalidOperationError):
+        d.decompress(b"\x00")  # feed after drain
+
+
+def test_incremental_corrupt():
+    d = BlockDecompressor()
+    with pytest.raises(InvalidDataError):
+        d.decompress(b"\xff\xff\xff\xff\xff\x01")  # overlong varint
+    d = BlockDecompressor()
+    d.decompress(bytes([4]))
+    with pytest.raises(InvalidDataError):
+        d.decompress(bytes([1 | (0 << 2), 1]))  # copy before output
+    d = BlockDecompressor()
+    d.decompress(oracle.compress(b"full"))
+    with pytest.raises(InvalidDataError):
+        d.decompress(b"\x00")  # trailing garbage after promised output
+    d = BlockDecompressor()
+    d.decompress(bytes([2, (0) << 2]))  # literal of len 1 promised 2
+    with pytest.raises(InvalidDataError):
+        d.finish()
+
+
+def test_iter_apis():
+    data = load_corpus_file("alice29.txt")
+    comp = compress_iter([data[:1000], data[1000:50000], data[50000:]],
+                         engine="oracle")
+    assert oracle.decompress(comp) == data
+    pieces = [comp[i : i + 999] for i in range(0, len(comp), 999)]
+    assert decompress_iter(pieces) == data

@@ -1,0 +1,86 @@
+"""Native C++ host-runtime tests (cross-engine vs oracle, corrupt
+rejection, CRC vectors). Skipped when no toolchain is available."""
+
+import numpy as np
+import pytest
+
+from snappier_tpu.errors import InvalidDataError
+from snappier_tpu.format import oracle
+from snappier_tpu.format.crc32c import crc32c as crc_ref
+from snappier_tpu.runtime import native
+from tests.conftest import load_corpus_file
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native toolchain unavailable"
+)
+
+
+@pytest.mark.parametrize("name", ["html", "fireworks.jpeg", "urls.10K"])
+def test_native_cross_engine(name):
+    data = load_corpus_file(name)
+    comp = native.compress(data)
+    assert native.decompress(comp) == data
+    assert oracle.decompress(comp) == data
+    assert native.decompress(oracle.compress(data)) == data
+    assert native.get_uncompressed_length(comp) == len(data)
+
+
+def test_native_edge_cases():
+    for data in [b"", b"a", b"ab" * 100, bytes(70000), b"x" * 65537]:
+        comp = native.compress(data)
+        assert native.decompress(comp) == data
+        assert oracle.decompress(comp) == data
+
+
+def test_native_overlap_patterns():
+    for off in range(1, 20):
+        data = bytes(range(32, 32 + off)) * 200
+        assert native.decompress(native.compress(data)) == data
+        assert native.decompress(oracle.compress(data)) == data
+
+
+def test_native_corrupt_rejected():
+    for bad in [
+        b"",
+        b"\xff\xff\xff\xff\xff",
+        b"\xff\xff\xff\xff\x0f\x00",
+        bytes([10, 3 << 2]) + b"ab",
+        bytes([4, 1, 1]),
+        bytes([1]),
+        bytes([3, (4 - 1) << 2]) + b"abcd",
+    ]:
+        with pytest.raises(InvalidDataError):
+            native.decompress(bad)
+    for name in ["baddata1.snappy", "baddata2.snappy", "baddata3.snappy"]:
+        with pytest.raises(InvalidDataError):
+            native.decompress(load_corpus_file(name))
+
+
+def test_native_crc32c():
+    assert native.crc32c(b"") == 0
+    assert native.crc32c(b"123456789") == 0xE3069283
+    rng = np.random.default_rng(0)
+    for n in [1, 7, 8, 9, 255, 100000]:
+        data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        assert native.crc32c(data) == crc_ref(data), n
+    # incremental append
+    a, b = b"hello ", b"world"
+    assert native.crc32c(b, native.crc32c(a)) == native.crc32c(a + b)
+
+
+def test_native_fuzz():
+    rng = np.random.default_rng(301)
+    for i in range(60):
+        size = int(rng.integers(0, 70000)) if i < 10 else int(rng.integers(0, 3000))
+        out = np.empty(size, np.uint8)
+        pos = 0
+        while pos < size:
+            run = min(int(rng.geometric(0.08)), size - pos)
+            if rng.random() < 0.5:
+                out[pos : pos + run] = rng.integers(0, 256)
+            else:
+                out[pos : pos + run] = rng.integers(0, 256, run, dtype=np.uint8)
+            pos += run
+        data = out.tobytes()
+        assert native.decompress(native.compress(data)) == data, i
+        assert oracle.decompress(native.compress(data)) == data, i
