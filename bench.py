@@ -71,6 +71,10 @@ def main() -> None:
         axis=1,
     ).astype(np.int32)
     blocks = np.concatenate([pre, np.asarray(bodies)], axis=1)
+    pad = (-blocks.shape[1]) % 1024  # scalar-kernel DMA tiling
+    blocks = np.concatenate(
+        [blocks, np.zeros((B, pad), blocks.dtype)], axis=1
+    )
     blocks_d = jax.device_put(jnp.asarray(blocks))
     block_lens_d = jax.device_put(jnp.asarray(np.asarray(body_lens) + 3))
     outs, out_lens, errs = codec.decompress_batch(

@@ -22,6 +22,13 @@ from snappier_tpu.ops.decode import decode_block
 from snappier_tpu.ops.encode import encode_block
 
 
+def _default_kernel() -> str:
+    """'scalar' (Pallas scalar-core codec) on real TPUs, 'scan' (the
+    portable XLA parallel-scan codec) elsewhere. See
+    ops/pallas/scalar_codec.py for the measured rationale."""
+    return "scalar" if jax.default_backend() == "tpu" else "scan"
+
+
 class SnappyCodec:
     """Batched block codec with a fixed fragment size.
 
@@ -30,12 +37,19 @@ class SnappyCodec:
         format's LZ window, Constants.cs:25-27).
       with_crc: also emit the framing format's per-block CRC32C
         (Crc32CAlgorithm parity) during compression.
+      kernel: 'scalar' | 'scan' | None (auto by backend).
     """
 
-    def __init__(self, fragment_size: int = BLOCK_SIZE, with_crc: bool = True):
+    def __init__(
+        self,
+        fragment_size: int = BLOCK_SIZE,
+        with_crc: bool = True,
+        kernel: str | None = None,
+    ):
         assert fragment_size <= BLOCK_SIZE
         self.fragment_size = fragment_size
         self.with_crc = with_crc
+        self.kernel = kernel or _default_kernel()
 
     @functools.cached_property
     def compress_batch(self):
@@ -44,28 +58,53 @@ class SnappyCodec:
         def fn(frags, lengths):
             frags = frags.astype(jnp.int32)
             lengths = lengths.astype(jnp.int32)
-            # lax.map, not vmap: the block kernels are built from sorts/
-            # gathers whose vmapped lowering is no faster than a serial
-            # loop on TPU, while map keeps the single-block kernel shape
-            # the backend compiles well.
-            bodies, body_lens = jax.lax.map(
-                lambda t: encode_block(*t), (frags, lengths)
-            )
-            if self.with_crc:
-                crcs = jax.lax.map(lambda t: crc32c_block(*t), (frags, lengths))
+            if self.kernel == "scalar":
+                from snappier_tpu.ops.pallas.scalar_codec import (
+                    encode_blocks_scalar,
+                )
+
+                bodies, body_lens = encode_blocks_scalar(frags, lengths)
             else:
+                # lax.map, not vmap: the scan kernels are built from
+                # sorts/gathers whose vmapped lowering is no faster than
+                # a serial loop on TPU; map keeps the single-block
+                # kernel shape the backend compiles well.
+                bodies, body_lens = jax.lax.map(
+                    lambda t: encode_block(*t), (frags, lengths)
+                )
+            if not self.with_crc:
                 crcs = jnp.zeros_like(lengths)
+            elif self.kernel == "scalar" and frags.shape[1] == BLOCK_SIZE:
+                from snappier_tpu.ops.pallas.crc32c import crc32c_blocks
+
+                crcs = crc32c_blocks(frags, lengths)
+            else:
+                crcs = jax.lax.map(lambda t: crc32c_block(*t), (frags, lengths))
             return bodies, body_lens, crcs
 
         return jax.jit(fn)
 
     @functools.cache
     def decompress_batch_fn(self, out_cap: int):
-        def fn(comp, comp_lens):
-            return jax.lax.map(
-                lambda t: decode_block(t[0], t[1], out_cap=out_cap),
-                (comp.astype(jnp.int32), comp_lens.astype(jnp.int32)),
+        if self.kernel == "scalar":
+            from snappier_tpu.ops.pallas.scalar_codec import (
+                decode_blocks_scalar,
             )
+
+            def fn(comp, comp_lens):
+                return decode_blocks_scalar(
+                    comp.astype(jnp.int32),
+                    comp_lens.astype(jnp.int32),
+                    out_cap=out_cap,
+                )
+
+        else:
+
+            def fn(comp, comp_lens):
+                return jax.lax.map(
+                    lambda t: decode_block(t[0], t[1], out_cap=out_cap),
+                    (comp.astype(jnp.int32), comp_lens.astype(jnp.int32)),
+                )
 
         return jax.jit(fn)
 
@@ -93,10 +132,14 @@ class SnappyCodec:
                 ],
                 axis=1,
             )
-            blocks = jnp.concatenate([pre, bodies], axis=1)
-            outs, out_lens, errs = jax.vmap(
-                lambda c, n: decode_block(c, n, out_cap=F)
-            )(blocks, body_lens + 3)
+            pad = (-(3 + bodies.shape[1])) % 1024  # scalar-kernel DMA tiling
+            blocks = jnp.concatenate(
+                [pre, bodies, jnp.zeros((bodies.shape[0], pad), jnp.int32)],
+                axis=1,
+            )
+            outs, out_lens, errs = self.decompress_batch_fn(F)(
+                blocks, body_lens + 3
+            )
             pos = jax.lax.broadcasted_iota(jnp.int32, outs.shape, 1)
             ok = (
                 jnp.all(jnp.where(pos < lengths[:, None], outs == frags, True))

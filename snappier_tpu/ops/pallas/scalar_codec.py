@@ -1,0 +1,496 @@
+"""Snappy block codec on the TPU scalar core (Pallas + SMEM).
+
+Why this shape: the wire format is a byte-serial tag chain; on real
+v5e hardware XLA's gather/scatter run at ~135M elem/s, so the log-step
+parallel-scan codec in :mod:`snappier_tpu.ops` spends ~50 small
+passes x ~0.5 ms on a 64 KiB block (~30-45 ms). The TPU's *scalar*
+unit, working out of SMEM, walks the same chain at tens of cycles per
+tag — two orders of magnitude less work for the serial part — while
+blocks batch across the Pallas grid and the vector/MXU units remain
+free for CRC and future fused pipelines. This mirrors the reference's
+split between tag bookkeeping and bulk copies
+(SnappyDecompressor.cs:184-347 / CopyHelpers.cs), re-hosted on the
+TPU's scalar+DMA machinery.
+
+Layout: one grid program per block; the compressed row is DMA'd
+HBM->SMEM, decoded scalar-sequentially into an SMEM output image, and
+DMA'd back out. Byte values ride in int32 lanes (one byte per word —
+simple and bounds-checked; word-packing is a planned follow-up).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from snappier_tpu.constants import BLOCK_SIZE, MAX_SHORT_LITERAL
+from snappier_tpu.ops.decode import (
+    ERR_BAD_OFFSET,
+    ERR_BAD_PREAMBLE,
+    ERR_LENGTH_MISMATCH,
+    ERR_TRUNCATED_TAG,
+)
+
+_UNROLL = 8
+
+
+def _decode_kernel(comp_ref, lens_ref, out_ref, outlen_ref, err_ref,
+                   comp_smem, out_smem, sem_in, sem_out):
+    b = pl.program_id(0)
+    cc = comp_smem.shape[0]
+    oc = out_smem.shape[0]
+    n = lens_ref[b]
+
+    # comp/out ride flat in HBM; rows are CC/OC-aligned (multiples of
+    # 128) so dynamic 1-D slices stay tile-aligned for the DMA engine.
+    cp_in = pltpu.make_async_copy(
+        comp_ref.at[pl.ds(b * cc, cc)], comp_smem, sem_in
+    )
+    cp_in.start()
+    cp_in.wait()
+
+    def rd(i):
+        return comp_smem[jnp.clip(i, 0, cc - 1)]
+
+    # --- varint preamble (VarIntEncoding.Read.cs semantics) -------------
+    def var_body(state):
+        i, val, done, err = state
+        byte = rd(i)
+        val = val | ((byte & 0x7F) << jnp.minimum(7 * i, 28))
+        done = byte < 0x80
+        err = jnp.where((i == 4) & (byte >= 8), ERR_BAD_PREAMBLE, err)
+        return i + 1, val, done, err
+
+    def var_cond(state):
+        i, val, done, err = state
+        return (~done) & (i < 5) & (err == 0)
+
+    pre_len, expected, done, err = jax.lax.while_loop(
+        var_cond, var_body, (jnp.int32(0), jnp.int32(0), False, jnp.int32(0))
+    )
+    err = jnp.where(~done, ERR_BAD_PREAMBLE, err)
+    err = jnp.where(pre_len > n, ERR_BAD_PREAMBLE, err)
+    err = jnp.where(expected > oc, ERR_BAD_PREAMBLE, err)
+    err = jnp.where(expected < 0, ERR_BAD_PREAMBLE, err)
+
+    # --- tag walk --------------------------------------------------------
+    def tag_cond(state):
+        ip, op, err = state
+        return (ip < n) & (err == 0)
+
+    def tag_body(state):
+        ip, op, err = state
+        tag = rd(ip)
+        ttype = tag & 3
+        len6 = tag >> 2
+
+        # literal descriptor
+        lit_extra = jnp.where(
+            (ttype == 0) & (len6 >= MAX_SHORT_LITERAL), len6 - 59, 0
+        )
+        ll = jnp.where(
+            lit_extra == 0,
+            len6 + 1,
+            rd(ip + 1)
+            + jnp.where(lit_extra >= 2, rd(ip + 2) << 8, 0)
+            + jnp.where(lit_extra >= 3, rd(ip + 3) << 16, 0)
+            + jnp.where(lit_extra == 4, rd(ip + 4) << 24, 0)
+            + 1,
+        )
+        lit_hdr = 1 + lit_extra
+
+        cp_len = jnp.where(
+            ttype == 1, ((tag >> 2) & 7) + 4, len6 + 1
+        )
+        cp_hdr = jnp.where(ttype == 1, 2, jnp.where(ttype == 2, 3, 5))
+        off = jnp.where(
+            ttype == 1,
+            ((tag >> 5) << 8) | rd(ip + 1),
+            jnp.where(
+                ttype == 2,
+                rd(ip + 1) | (rd(ip + 2) << 8),
+                rd(ip + 1)
+                | (rd(ip + 2) << 8)
+                | (rd(ip + 3) << 16)
+                | (rd(ip + 4) << 24),
+            ),
+        )
+
+        is_lit = ttype == 0
+        length = jnp.where(is_lit, ll, cp_len)
+        hdr = jnp.where(is_lit, lit_hdr, cp_hdr)
+        advance = hdr + jnp.where(is_lit, length, 0)
+
+        err = jnp.where(ip + advance > n, ERR_TRUNCATED_TAG, err)
+        err = jnp.where(
+            ~is_lit & ((off <= 0) | (off > op)), ERR_BAD_OFFSET, err
+        )
+        err = jnp.where(
+            (op + length > expected) | (length < 0), ERR_LENGTH_MISMATCH, err
+        )
+
+        src = jnp.where(is_lit, ip + hdr, op - off)
+        ok = err == 0
+        iters = (length + _UNROLL - 1) // _UNROLL
+
+        def copy_lit(k, _):
+            base = op + k * _UNROLL
+            sb = src + k * _UNROLL
+            for u in range(_UNROLL):
+                @pl.when(k * _UNROLL + u < length)
+                def _():
+                    out_smem[jnp.clip(base + u, 0, oc - 1)] = rd(sb + u)
+            return 0
+
+        def copy_back(k, _):
+            # off >= _UNROLL: every read in this chunk precedes the
+            # write frontier, so the unrolled block has no hazards.
+            base = op + k * _UNROLL
+            sb = src + k * _UNROLL
+            for u in range(_UNROLL):
+                @pl.when(k * _UNROLL + u < length)
+                def _():
+                    out_smem[jnp.clip(base + u, 0, oc - 1)] = out_smem[
+                        jnp.clip(sb + u, 0, oc - 1)
+                    ]
+            return 0
+
+        def copy_back_overlap(k, _):
+            # off < _UNROLL: byte-serial pattern replication
+            # (IncrementalCopy semantics, CopyHelpers.cs:64-219).
+            out_smem[jnp.clip(op + k, 0, oc - 1)] = out_smem[
+                jnp.clip(src + k, 0, oc - 1)
+            ]
+            return 0
+
+        @pl.when(ok & is_lit)
+        def _():
+            jax.lax.fori_loop(0, iters, copy_lit, 0, unroll=False)
+
+        @pl.when(ok & ~is_lit & (off >= _UNROLL))
+        def _():
+            jax.lax.fori_loop(0, iters, copy_back, 0, unroll=False)
+
+        @pl.when(ok & ~is_lit & (off < _UNROLL))
+        def _():
+            jax.lax.fori_loop(0, length, copy_back_overlap, 0, unroll=False)
+
+        ip = ip + advance
+        op = op + jnp.where(err == 0, length, 0)
+        return ip, op, err
+
+    ip, op, err = jax.lax.while_loop(
+        tag_cond, tag_body, (pre_len, jnp.int32(0), err)
+    )
+    err = jnp.where((err == 0) & (op != expected), ERR_LENGTH_MISMATCH, err)
+
+    outlen_ref[b] = jnp.where(err == 0, expected, 0)
+    err_ref[b] = err
+
+    cp_out = pltpu.make_async_copy(
+        out_smem, out_ref.at[pl.ds(b * oc, oc)], sem_out
+    )
+    cp_out.start()
+    cp_out.wait()
+
+
+def _interpret_default() -> bool:
+    # Interpreter mode lets the same kernels run in hermetic CPU tests.
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_cap", "interpret")
+)
+def decode_blocks_scalar(
+    comp, comp_lens, out_cap: int = BLOCK_SIZE, interpret: bool | None = None
+):
+    """Decode a batch of Snappy blocks on the TPU scalar core.
+
+    Args:
+      comp: int32[B, CC] compressed blocks (varint + tags), zero-padded.
+      comp_lens: int32[B].
+      out_cap: static output capacity per block.
+      interpret: run in the Pallas interpreter (defaults to True off-TPU).
+
+    Returns: (out int32[B, out_cap], out_lens int32[B], errs int32[B]).
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    comp = comp.astype(jnp.int32)
+    B, CC = comp.shape
+    assert CC % 1024 == 0 and out_cap % 1024 == 0  # 1-D DMA tiling
+    out_flat, out_lens, errs = pl.pallas_call(
+        _decode_kernel,
+        grid=(B,),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * out_cap,), jnp.int32),
+            jax.ShapeDtypeStruct((B,), jnp.int32),
+            jax.ShapeDtypeStruct((B,), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((CC,), jnp.int32),
+            pltpu.SMEM((out_cap,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(comp.reshape(-1), comp_lens.astype(jnp.int32))
+    return out_flat.reshape(B, out_cap), out_lens, errs
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+_HASH_BITS = 14
+_HASH_MUL = 0x1E35A7BD  # HashTable.cs magic-multiply form
+
+
+def _encode_kernel(keys_ref, lens_ref, out_ref, outlen_ref,
+                   key_smem, out_smem, table_smem, sem_in, sem_out):
+    b = pl.program_id(0)
+    fc = key_smem.shape[0]
+    oc = out_smem.shape[0]
+    n = lens_ref[b]
+
+    cp_in = pltpu.make_async_copy(
+        keys_ref.at[pl.ds(b * fc, fc)], key_smem, sem_in
+    )
+    cp_in.start()
+    cp_in.wait()
+
+    def key(i):
+        return key_smem[jnp.clip(i, 0, fc - 1)]
+
+    def byte(i):
+        return key(i) & 0xFF
+
+    # Epoch-tagged hash table: entry = (b+1) << 16 | pos. Stale entries
+    # from other blocks fail the epoch check, so the 16K-entry table is
+    # never cleared (a scalar clear would cost more than the scan).
+    epoch = ((b & 0x7FFF) + 1) << 16
+
+    def emit_literal(op, lit_start, lit_end):
+        """Literal tag + payload (SnappyCompressor.cs:417-464)."""
+        llen = lit_end - lit_start
+
+        def short_case():
+            out_smem[jnp.clip(op, 0, oc - 1)] = (llen - 1) << 2
+            return op + 1
+
+        def long_case():
+            # llen <= 65536 -> at most 2 extra length bytes.
+            extra = jnp.where(llen <= 256, 1, 2)
+            out_smem[jnp.clip(op, 0, oc - 1)] = (59 + extra) << 2
+            out_smem[jnp.clip(op + 1, 0, oc - 1)] = (llen - 1) & 0xFF
+            @pl.when(extra == 2)
+            def _():
+                out_smem[jnp.clip(op + 2, 0, oc - 1)] = ((llen - 1) >> 8) & 0xFF
+            return op + 1 + extra
+
+        op = jax.lax.cond(llen <= MAX_SHORT_LITERAL, short_case, long_case)
+
+        def cp(k, _):
+            base = op + k * _UNROLL
+            sb = lit_start + k * _UNROLL
+            for u in range(_UNROLL):
+                @pl.when(k * _UNROLL + u < llen)
+                def _():
+                    out_smem[jnp.clip(base + u, 0, oc - 1)] = byte(sb + u)
+            return 0
+
+        jax.lax.fori_loop(0, (llen + _UNROLL - 1) // _UNROLL, cp, 0,
+                          unroll=False)
+        return op + llen
+
+    def emit_literal_checked(op, lit_start, lit_end):
+        return jax.lax.cond(
+            lit_end > lit_start,
+            lambda: emit_literal(op, lit_start, lit_end),
+            lambda: op,
+        )
+
+    def emit_copy_upto64(op, off, length):
+        """One copy tag (SnappyCompressor.cs:466-505)."""
+        def copy1():
+            out_smem[jnp.clip(op, 0, oc - 1)] = (
+                1 | ((length - 4) << 2) | ((off >> 8) << 5)
+            )
+            out_smem[jnp.clip(op + 1, 0, oc - 1)] = off & 0xFF
+            return op + 2
+
+        def copy2():
+            out_smem[jnp.clip(op, 0, oc - 1)] = 2 | ((length - 1) << 2)
+            out_smem[jnp.clip(op + 1, 0, oc - 1)] = off & 0xFF
+            out_smem[jnp.clip(op + 2, 0, oc - 1)] = (off >> 8) & 0xFF
+            return op + 3
+
+        return jax.lax.cond((length <= 11) & (off < 2048), copy1, copy2)
+
+    def emit_copy(op, off, length):
+        """Repeated-64 emission with the 64<len<68 split
+        (SnappyCompressor.cs:507-543)."""
+        def big_cond(st):
+            op, length = st
+            return length >= 68
+
+        def big_body(st):
+            op, length = st
+            return emit_copy_upto64(op, off, 64), length - 64
+
+        op, length = jax.lax.while_loop(big_cond, big_body, (op, length))
+
+        def split_case(op, length):
+            op = emit_copy_upto64(op, off, 60)
+            return emit_copy_upto64(op, off, length - 60)
+
+        return jax.lax.cond(
+            length > 64,
+            lambda: split_case(op, length),
+            lambda: emit_copy_upto64(op, off, length),
+        )
+
+    margin = 15  # InputMarginBytes (Constants.cs:27)
+
+    def scan_cond(st):
+        ip, lit_start, op, skip = st
+        return ip + margin < n
+
+    def scan_body(st):
+        ip, lit_start, op, skip = st
+        cur = key(ip)
+        h = ((cur * _HASH_MUL) >> (32 - _HASH_BITS)) & ((1 << _HASH_BITS) - 1)
+        entry = table_smem[h]
+        table_smem[h] = epoch | ip
+        cand = entry & 0xFFFF
+        hit = ((entry >> 16) == (epoch >> 16)) & (cand < ip) & (key(cand) == cur)
+
+        def on_hit():
+            # 4-byte-stride extension via the key array, then a <=3 byte
+            # tail (FindMatchLength shape, SnappyCompressor.cs:562-688).
+            def ext_cond(m):
+                return (ip + m + 4 <= n) & (key(ip + m) == key(cand + m))
+
+            m = jax.lax.while_loop(ext_cond, lambda m: m + 4, jnp.int32(4))
+
+            def tail_cond(st):
+                m, t = st
+                return (t < 3) & (ip + m < n) & (byte(ip + m) == byte(cand + m))
+
+            m, _ = jax.lax.while_loop(
+                tail_cond, lambda st: (st[0] + 1, st[1] + 1), (m, jnp.int32(0))
+            )
+            m = jnp.minimum(m, n - ip)
+
+            op2 = emit_literal_checked(op, lit_start, ip)
+            op3 = emit_copy(op2, ip - cand, m)
+            end = ip + m
+
+            # Seed the covered span (stride 2) so later matches can
+            # reference it.
+            def seed(k, _):
+                p = ip + 1 + 2 * k
+                kv = key(p)
+                hh = ((kv * _HASH_MUL) >> (32 - _HASH_BITS)) & (
+                    (1 << _HASH_BITS) - 1
+                )
+                table_smem[hh] = epoch | p
+                return 0
+
+            nseed = jnp.maximum((jnp.minimum(end, n - 4) - ip - 1 + 1) // 2, 0)
+            jax.lax.fori_loop(0, nseed, seed, 0, unroll=False)
+            return end, end, op3, jnp.int32(32)
+
+        def on_miss():
+            return ip + (skip >> 5), lit_start, op, skip + 1
+
+        return jax.lax.cond(hit, on_hit, on_miss)
+
+    ip, lit_start, op, skip = jax.lax.while_loop(
+        scan_cond, scan_body,
+        (jnp.minimum(jnp.int32(1), n), jnp.int32(0), jnp.int32(0),
+         jnp.int32(32)),
+    )
+    op = emit_literal_checked(op, lit_start, n)
+    outlen_ref[b] = op
+
+    cp_out = pltpu.make_async_copy(
+        out_smem, out_ref.at[pl.ds(b * oc, oc)], sem_out
+    )
+    cp_out.start()
+    cp_out.wait()
+
+
+def _keys_from_frags(frags):
+    """Vectorized 4-byte LE key at every position (XLA elementwise)."""
+    B, F = frags.shape
+    pad = jnp.zeros((B, 4), jnp.int32)
+    d = jnp.concatenate([frags.astype(jnp.int32), pad], axis=1)
+    return (
+        d[:, 0:F]
+        | (d[:, 1 : F + 1] << 8)
+        | (d[:, 2 : F + 2] << 16)
+        | (d[:, 3 : F + 3] << 24)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def encode_blocks_scalar(frags, lengths, interpret: bool | None = None):
+    """Compress a batch of fragments on the TPU scalar core.
+
+    Args:
+      frags: int32[B, F] byte values (F <= BLOCK_SIZE, multiple of 128).
+      lengths: int32[B].
+
+    Returns: (bodies int32[B, F + 1024], body_lens int32[B]) — fragment
+    tag streams without varint preambles (SnappyCompressor.cs:34-80
+    assembly is the caller's job).
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    frags = frags.astype(jnp.int32)
+    B, F = frags.shape
+    assert F % 1024 == 0 and F <= BLOCK_SIZE  # 1-D DMA tiling
+    oc = F + 1024
+    keys = _keys_from_frags(frags)
+    bodies, body_lens = pl.pallas_call(
+        _encode_kernel,
+        grid=(B,),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * oc,), jnp.int32),
+            jax.ShapeDtypeStruct((B,), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((F,), jnp.int32),
+            pltpu.SMEM((oc,), jnp.int32),
+            pltpu.SMEM((1 << _HASH_BITS,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(keys.reshape(-1), lengths.astype(jnp.int32))
+    return bodies.reshape(B, oc), body_lens

@@ -1,0 +1,105 @@
+"""Scalar-core Pallas codec tests (interpreter mode on CPU; the same
+kernels were validated compiled on a real v5e chip). Tiny fragments
+keep interpreter time reasonable."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from snappier_tpu.format import oracle
+from snappier_tpu.format.varint import write_varint
+from snappier_tpu.ops.pallas.scalar_codec import (
+    decode_blocks_scalar,
+    encode_blocks_scalar,
+)
+
+F = 1024  # fragment size for tests (multiple of 1024)
+CC = 2048
+
+
+def _enc(datas):
+    B = len(datas)
+    frags = np.zeros((B, F), np.int32)
+    lens = np.zeros(B, np.int32)
+    for i, d in enumerate(datas):
+        a = np.frombuffer(d, np.uint8)
+        frags[i, : len(a)] = a
+        lens[i] = len(a)
+    bodies, blens = encode_blocks_scalar(jnp.asarray(frags), jnp.asarray(lens))
+    return np.asarray(bodies), np.asarray(blens)
+
+
+def _dec(comps, out_cap=F):
+    B = len(comps)
+    comp = np.zeros((B, CC), np.int32)
+    lens = np.zeros(B, np.int32)
+    for i, c in enumerate(comps):
+        a = np.frombuffer(c, np.uint8)
+        comp[i, : len(a)] = a
+        lens[i] = len(a)
+    out, olens, errs = decode_blocks_scalar(
+        jnp.asarray(comp), jnp.asarray(lens), out_cap=out_cap
+    )
+    return np.asarray(out), np.asarray(olens), np.asarray(errs)
+
+
+CASES = [
+    b"",
+    b"a",
+    b"ab" * 50,
+    b"a" * 300,
+    b"the quick brown snappy " * 20,
+    bytes(500),
+]
+
+
+def test_scalar_encode_decodes_on_oracle():
+    bodies, blens = _enc(CASES)
+    for i, d in enumerate(CASES):
+        comp = write_varint(len(d)) + bytes(bodies[i, : blens[i]].astype(np.uint8))
+        assert oracle.decompress(comp) == d, i
+
+
+def test_scalar_decode_matches_oracle():
+    comps = [oracle.compress(d) for d in CASES]
+    out, olens, errs = _dec(comps)
+    for i, d in enumerate(CASES):
+        assert errs[i] == 0, (i, errs[i])
+        assert bytes(out[i, : olens[i]].astype(np.uint8)) == d, i
+
+
+def test_scalar_roundtrip_incompressible_and_patterns():
+    rng = np.random.default_rng(3)
+    datas = [
+        rng.integers(0, 256, 1000, np.uint8).tobytes(),
+        bytes(range(1, 6)) * 150,  # offset-5 overlap pattern
+        b"x" * F,  # full fragment run
+    ]
+    bodies, blens = _enc(datas)
+    comps = [
+        write_varint(len(d)) + bytes(bodies[i, : blens[i]].astype(np.uint8))
+        for i, d in enumerate(datas)
+    ]
+    out, olens, errs = _dec(comps)
+    for i, d in enumerate(datas):
+        assert errs[i] == 0
+        assert bytes(out[i, : olens[i]].astype(np.uint8)) == d, i
+
+
+def test_scalar_decode_rejects_corrupt():
+    bad = [
+        b"\xff\xff\xff\xff\xff",
+        bytes([10, 3 << 2]) + b"ab",
+        bytes([4, 1, 1]),
+        bytes([1]),
+        bytes([3, (4 - 1) << 2]) + b"abcd",
+    ]
+    _, _, errs = _dec(bad)
+    assert (errs != 0).all(), errs
+
+
+def test_scalar_decode_copy4():
+    data = bytes([8, (4 - 1) << 2]) + b"abcd" + bytes([3 | (3 << 2), 4, 0, 0, 0])
+    out, olens, errs = _dec([data])
+    assert errs[0] == 0
+    assert bytes(out[0, : olens[0]].astype(np.uint8)) == b"abcdabcd"
