@@ -135,15 +135,22 @@ def _decode_kernel(comp_ref, lens_ref, out_ref, outlen_ref, err_ref,
 
         src = jnp.where(is_lit, ip + hdr, op - off)
         ok = err == 0
-        iters = (length + _UNROLL - 1) // _UNROLL
+        # Unpredicated full chunks + a short byte remainder: per-byte
+        # bound checks inside the unrolled body cost more than the
+        # copies themselves.
+        full = length // _UNROLL
 
+        # No clips inside the hot loops: when err == 0 every index is
+        # already proven in range by the validation above.
         def copy_lit(k, _):
             base = op + k * _UNROLL
             sb = src + k * _UNROLL
             for u in range(_UNROLL):
-                @pl.when(k * _UNROLL + u < length)
-                def _():
-                    out_smem[jnp.clip(base + u, 0, oc - 1)] = rd(sb + u)
+                out_smem[base + u] = comp_smem[sb + u]
+            return 0
+
+        def copy_lit_rem(k, _):
+            out_smem[op + k] = comp_smem[src + k]
             return 0
 
         def copy_back(k, _):
@@ -152,32 +159,32 @@ def _decode_kernel(comp_ref, lens_ref, out_ref, outlen_ref, err_ref,
             base = op + k * _UNROLL
             sb = src + k * _UNROLL
             for u in range(_UNROLL):
-                @pl.when(k * _UNROLL + u < length)
-                def _():
-                    out_smem[jnp.clip(base + u, 0, oc - 1)] = out_smem[
-                        jnp.clip(sb + u, 0, oc - 1)
-                    ]
+                out_smem[base + u] = out_smem[sb + u]
             return 0
 
-        def copy_back_overlap(k, _):
-            # off < _UNROLL: byte-serial pattern replication
-            # (IncrementalCopy semantics, CopyHelpers.cs:64-219).
-            out_smem[jnp.clip(op + k, 0, oc - 1)] = out_smem[
-                jnp.clip(src + k, 0, oc - 1)
-            ]
+        def copy_back_byte(k, _):
+            # Also the off < _UNROLL path: byte-serial pattern
+            # replication (IncrementalCopy, CopyHelpers.cs:64-219).
+            out_smem[op + k] = out_smem[src + k]
             return 0
 
         @pl.when(ok & is_lit)
         def _():
-            jax.lax.fori_loop(0, iters, copy_lit, 0, unroll=False)
+            jax.lax.fori_loop(0, full, copy_lit, 0, unroll=False)
+            jax.lax.fori_loop(
+                full * _UNROLL, length, copy_lit_rem, 0, unroll=False
+            )
 
         @pl.when(ok & ~is_lit & (off >= _UNROLL))
         def _():
-            jax.lax.fori_loop(0, iters, copy_back, 0, unroll=False)
+            jax.lax.fori_loop(0, full, copy_back, 0, unroll=False)
+            jax.lax.fori_loop(
+                full * _UNROLL, length, copy_back_byte, 0, unroll=False
+            )
 
         @pl.when(ok & ~is_lit & (off < _UNROLL))
         def _():
-            jax.lax.fori_loop(0, length, copy_back_overlap, 0, unroll=False)
+            jax.lax.fori_loop(0, length, copy_back_byte, 0, unroll=False)
 
         ip = ip + advance
         op = op + jnp.where(err == 0, length, 0)
@@ -305,17 +312,21 @@ def _encode_kernel(keys_ref, lens_ref, out_ref, outlen_ref,
 
         op = jax.lax.cond(llen <= MAX_SHORT_LITERAL, short_case, long_case)
 
+        full = llen // _UNROLL
+
         def cp(k, _):
             base = op + k * _UNROLL
             sb = lit_start + k * _UNROLL
             for u in range(_UNROLL):
-                @pl.when(k * _UNROLL + u < llen)
-                def _():
-                    out_smem[jnp.clip(base + u, 0, oc - 1)] = byte(sb + u)
+                out_smem[base + u] = key_smem[sb + u] & 0xFF
             return 0
 
-        jax.lax.fori_loop(0, (llen + _UNROLL - 1) // _UNROLL, cp, 0,
-                          unroll=False)
+        def cp_rem(k, _):
+            out_smem[op + k] = key_smem[lit_start + k] & 0xFF
+            return 0
+
+        jax.lax.fori_loop(0, full, cp, 0, unroll=False)
+        jax.lax.fori_loop(full * _UNROLL, llen, cp_rem, 0, unroll=False)
         return op + llen
 
     def emit_literal_checked(op, lit_start, lit_end):

@@ -37,6 +37,15 @@ from snappier_tpu.ops.encode import encode_block
 BLOCK_AXIS = "blocks"
 
 
+def _default_kernel() -> str:
+    # The sharded paths default to the portable scan kernels: shard_map
+    # of the Pallas scalar kernels compiles fine per-device but hangs
+    # this environment's remote-compile service; pass kernel="scalar"
+    # explicitly on real pod slices. The single-host batched paths
+    # (models/codec.py) do use the scalar kernels on TPU.
+    return "scan"
+
+
 def make_mesh(devices=None, n_devices: int | None = None) -> Mesh:
     """1-D mesh over the block (data-parallel) axis."""
     if devices is None:
@@ -52,8 +61,26 @@ def _specs(mesh: Mesh):
 
 
 @functools.cache
-def _sharded_compress_fn(mesh: Mesh):
+def _sharded_compress_fn(mesh: Mesh, kernel: str):
     batch = _specs(mesh)
+
+    if kernel == "scalar":
+        from jax.experimental.shard_map import shard_map
+
+        from snappier_tpu.ops.pallas.scalar_codec import encode_blocks_scalar
+
+        # Pallas kernels are per-device programs: shard the batch axis
+        # explicitly so each chip runs its own grid over its blocks.
+        encode = shard_map(
+            lambda f, l: encode_blocks_scalar(f, l),
+            mesh=mesh,
+            in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS)),
+            out_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS)),
+            check_rep=False,  # pallas_call outputs carry no replication info
+        )
+    else:
+        def encode(frags, lengths):
+            return jax.vmap(encode_block)(frags, lengths)
 
     @functools.partial(
         jax.jit,
@@ -61,7 +88,7 @@ def _sharded_compress_fn(mesh: Mesh):
         out_shardings=(batch, batch, NamedSharding(mesh, P(None))),
     )
     def fn(frags, lengths):
-        bodies, body_lens = jax.vmap(encode_block)(frags, lengths)
+        bodies, body_lens = encode(frags, lengths)
         # Ordered-assembly metadata: global exclusive prefix sum of the
         # compressed lengths. Under GSPMD this lowers to an all-gather
         # of the (tiny) length vector + local scan — the "lengths
@@ -73,8 +100,26 @@ def _sharded_compress_fn(mesh: Mesh):
 
 
 @functools.cache
-def _sharded_decompress_fn(mesh: Mesh, out_cap: int):
+def _sharded_decompress_fn(mesh: Mesh, out_cap: int, kernel: str):
     batch = _specs(mesh)
+
+    if kernel == "scalar":
+        from jax.experimental.shard_map import shard_map
+
+        from snappier_tpu.ops.pallas.scalar_codec import decode_blocks_scalar
+
+        decode = shard_map(
+            lambda c, n: decode_blocks_scalar(c, n, out_cap=out_cap),
+            mesh=mesh,
+            in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS)),
+            out_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS)),
+            check_rep=False,  # pallas_call outputs carry no replication info
+        )
+    else:
+        def decode(comp, comp_lens):
+            return jax.vmap(
+                lambda c, n: decode_block(c, n, out_cap=out_cap)
+            )(comp, comp_lens)
 
     @functools.partial(
         jax.jit,
@@ -82,31 +127,38 @@ def _sharded_decompress_fn(mesh: Mesh, out_cap: int):
         out_shardings=(batch, batch, None),
     )
     def fn(comp, comp_lens):
-        outs, out_lens, errs = jax.vmap(
-            lambda c, n: decode_block(c, n, out_cap=out_cap)
-        )(comp, comp_lens)
+        outs, out_lens, errs = decode(comp, comp_lens)
         return outs, out_lens, jnp.max(errs)
 
     return fn
 
 
-def sharded_compress(frags, lengths, mesh: Mesh | None = None):
+def sharded_compress(
+    frags, lengths, mesh: Mesh | None = None, kernel: str | None = None
+):
     """Compress a [B, F] batch of fragments across the mesh.
 
-    B must be a multiple of the mesh size. Returns (bodies [B, F+128],
-    body_lens [B], offsets [B]) with the batch dim sharded and offsets
-    replicated (the ordered-assembly map)."""
+    B must be a multiple of the mesh size. Returns (bodies, body_lens
+    [B], offsets [B]) with the batch dim sharded and offsets replicated
+    (the ordered-assembly map). ``kernel``: 'scalar' (Pallas, default
+    on TPU) or 'scan' (portable XLA)."""
     mesh = mesh or make_mesh()
-    return _sharded_compress_fn(mesh)(
+    return _sharded_compress_fn(mesh, kernel or _default_kernel())(
         jnp.asarray(frags, jnp.int32), jnp.asarray(lengths, jnp.int32)
     )
 
 
-def sharded_decompress(comp, comp_lens, out_cap: int, mesh: Mesh | None = None):
+def sharded_decompress(
+    comp,
+    comp_lens,
+    out_cap: int,
+    mesh: Mesh | None = None,
+    kernel: str | None = None,
+):
     """Decode a [B, C] batch of blocks across the mesh. Returns
     (outs [B, out_cap], out_lens [B], max_err scalar)."""
     mesh = mesh or make_mesh()
-    return _sharded_decompress_fn(mesh, out_cap)(
+    return _sharded_decompress_fn(mesh, out_cap, kernel or _default_kernel())(
         jnp.asarray(comp, jnp.int32), jnp.asarray(comp_lens, jnp.int32)
     )
 

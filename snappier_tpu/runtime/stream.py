@@ -56,6 +56,15 @@ def _pow2_batch(b: int) -> int:
     return 1 << max(0, (max(b, 1) - 1)).bit_length()
 
 
+def _host_crc_fn():
+    """Fastest available host-side CRC32C (chunk verification)."""
+    from snappier_tpu.runtime import native
+
+    if native.available():
+        return native.crc32c
+    return crc32c
+
+
 # ---------------------------------------------------------------------------
 # Batched one-shot paths
 # ---------------------------------------------------------------------------
@@ -110,8 +119,9 @@ def _compress_chunks_batched(
     bodies = np.asarray(bodies)
     body_lens = np.asarray(body_lens)
     out = []
+    crc_fn = _host_crc_fn()
     for i, c in enumerate(chunks):
-        checksum = mask_crc(crc32c(c)).to_bytes(4, "little")
+        checksum = mask_crc(crc_fn(c)).to_bytes(4, "little")
         comp = write_varint(len(c)) + bodies[i, : int(body_lens[i])].astype(
             np.uint8
         ).tobytes()
@@ -290,7 +300,7 @@ class StreamDecompressor:
                         "chunk exceeds 64 KiB uncompressed cap"
                     )
                 expected = unmask_crc(int.from_bytes(payload[:4], "little"))
-                if crc32c(body) != expected:
+                if _host_crc_fn()(body) != expected:
                     raise InvalidDataError("chunk CRC32C mismatch")
                 order.append(("u", body))
             elif ctype == CHUNK_PADDING or ctype >= 0x80:
@@ -308,7 +318,7 @@ class StreamDecompressor:
                 out += v  # type: ignore[arg-type]
             else:
                 body = decoded[v]  # type: ignore[index]
-                if crc32c(body) != crcs[ci]:
+                if _host_crc_fn()(body) != crcs[ci]:
                     raise InvalidDataError("chunk CRC32C mismatch")
                 ci += 1
                 out += body
