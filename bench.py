@@ -84,15 +84,19 @@ def main() -> None:
     assert int(np.max(np.asarray(errs))) == 0
     assert (np.asarray(outs[0])[: BLOCK_SIZE] == frags[0]).all(), "bench roundtrip"
 
-    def timeit(fn, iters=5):
+    def timeit(fn, iters=5, passes=3):
         # Forcing a host fetch of a leaf is the only reliable completion
-        # barrier through remote-device transports.
+        # barrier through remote-device transports; best-of-N passes
+        # suppresses transport jitter.
         np.asarray(jax.tree.leaves(fn())[1])  # warm
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            r = fn()
-        np.asarray(jax.tree.leaves(r)[1])
-        return (time.perf_counter() - t0) / iters
+        best = float("inf")
+        for _ in range(passes):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                r = fn()
+            np.asarray(jax.tree.leaves(r)[1])
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return best
 
     t_c = timeit(lambda: codec.compress_batch(frags_d, lengths_d))
     t_d = timeit(

@@ -29,10 +29,11 @@ from snappier_tpu.format.crc32c import lbit_table, zero_crc_table
 
 @functools.cache
 def _tables():
-    """(LBIT packed to int32[BLOCK_SIZE, 8], Z int32[BLOCK_SIZE+1])."""
+    """(LBIT packed to int32[BLOCK_SIZE, 8], Z int32[BLOCK_SIZE+1]).
+    Cached as NumPy (jnp here would capture tracers under jit)."""
     lbit = lbit_table(BLOCK_SIZE).view(np.int32)
     z = zero_crc_table(BLOCK_SIZE).view(np.int32)
-    return jnp.asarray(lbit), jnp.asarray(z)
+    return lbit, z
 
 
 @jax.jit
@@ -47,7 +48,8 @@ def crc32c_block(data: jnp.ndarray, length: jnp.ndarray) -> jnp.ndarray:
     """
     cap = data.shape[0]
     assert cap <= BLOCK_SIZE
-    lbit, z = _tables()
+    lbit_np, z_np = _tables()
+    lbit, z = jnp.asarray(lbit_np), jnp.asarray(z_np)
     pos = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
     dist = jnp.clip(length - 1 - pos, 0, BLOCK_SIZE - 1)
     rows = lbit[dist]  # (cap, 8)

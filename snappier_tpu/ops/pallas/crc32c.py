@@ -31,11 +31,13 @@ _ROWS = BLOCK_SIZE // 128
 
 
 @functools.cache
-def _lbit_rev() -> jnp.ndarray:
+def _lbit_rev() -> np.ndarray:
     """(8, ROWS, 128) int32: LBIT columns indexed by *position* for a
-    right-aligned message (position i has distance BLOCK_SIZE-1-i)."""
+    right-aligned message (position i has distance BLOCK_SIZE-1-i).
+    Cached as NumPy — caching a jnp array here would capture a tracer
+    when first touched inside a jit trace."""
     t = lbit_table(BLOCK_SIZE)[::-1].T.copy()  # (8, BLOCK_SIZE) uint32
-    return jnp.asarray(t.view(np.int32).reshape(8, _ROWS, 128))
+    return t.view(np.int32).reshape(8, _ROWS, 128)
 
 
 def _crc_kernel(data_ref, lbit_ref, out_ref):
@@ -93,6 +95,6 @@ def crc32c_blocks(frags, lengths):
             ),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-    )(rolled.reshape(B, _ROWS, 128), _lbit_rev())
+    )(rolled.reshape(B, _ROWS, 128), jnp.asarray(_lbit_rev()))
     z = jnp.asarray(zero_crc_table(BLOCK_SIZE).view(np.int32))
     return lin ^ z[jnp.clip(lengths, 0, BLOCK_SIZE)]

@@ -42,11 +42,15 @@ def _decode_kernel(comp_ref, lens_ref, out_ref, outlen_ref, err_ref,
                    comp_smem, out_smem, sem_in, sem_out):
     b = pl.program_id(0)
     cc = comp_smem.shape[0]
-    oc = out_smem.shape[0]
+    ocp = out_smem.shape[0]  # padded: logical capacity + 1024 slack
+    oc = ocp - 1024
     n = lens_ref[b]
 
-    # comp/out ride flat in HBM; rows are CC/OC-aligned (multiples of
-    # 128) so dynamic 1-D slices stay tile-aligned for the DMA engine.
+    # comp/out ride flat in HBM; rows are CC/OCP-aligned (multiples of
+    # 1024) so dynamic 1-D slices stay tile-aligned for the DMA engine.
+    # The output image carries 1 KiB of slack for the sloppy
+    # overshooting copies; the caller guarantees n <= CC - 8 so sloppy
+    # literal overreads stay inside the compressed image.
     cp_in = pltpu.make_async_copy(
         comp_ref.at[pl.ds(b * cc, cc)], comp_smem, sem_in
     )
@@ -199,7 +203,7 @@ def _decode_kernel(comp_ref, lens_ref, out_ref, outlen_ref, err_ref,
     err_ref[b] = err
 
     cp_out = pltpu.make_async_copy(
-        out_smem, out_ref.at[pl.ds(b * oc, oc)], sem_out
+        out_smem, out_ref.at[pl.ds(b * ocp, ocp)], sem_out
     )
     cp_out.start()
     cp_out.wait()
@@ -231,11 +235,12 @@ def decode_blocks_scalar(
     comp = comp.astype(jnp.int32)
     B, CC = comp.shape
     assert CC % 1024 == 0 and out_cap % 1024 == 0  # 1-D DMA tiling
+    ocp = out_cap + 1024  # sloppy-copy slack
     out_flat, out_lens, errs = pl.pallas_call(
         _decode_kernel,
         grid=(B,),
         out_shape=(
-            jax.ShapeDtypeStruct((B * out_cap,), jnp.int32),
+            jax.ShapeDtypeStruct((B * ocp,), jnp.int32),
             jax.ShapeDtypeStruct((B,), jnp.int32),
             jax.ShapeDtypeStruct((B,), jnp.int32),
         ),
@@ -250,14 +255,14 @@ def decode_blocks_scalar(
         ),
         scratch_shapes=[
             pltpu.SMEM((CC,), jnp.int32),
-            pltpu.SMEM((out_cap,), jnp.int32),
+            pltpu.SMEM((ocp,), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(comp.reshape(-1), comp_lens.astype(jnp.int32))
-    return out_flat.reshape(B, out_cap), out_lens, errs
+    return out_flat.reshape(B, ocp)[:, :out_cap], out_lens, errs
 
 
 # ---------------------------------------------------------------------------
@@ -271,8 +276,8 @@ _HASH_MUL = 0x1E35A7BD  # HashTable.cs magic-multiply form
 def _encode_kernel(keys_ref, lens_ref, out_ref, outlen_ref,
                    key_smem, out_smem, table_smem, sem_in, sem_out):
     b = pl.program_id(0)
-    fc = key_smem.shape[0]
-    oc = out_smem.shape[0]
+    fc = key_smem.shape[0]  # padded: fragment + 1024 slack (overreads)
+    oc = out_smem.shape[0]  # fragment + 1024 (emission <= F + ~80)
     n = lens_ref[b]
 
     cp_in = pltpu.make_async_copy(
@@ -312,7 +317,7 @@ def _encode_kernel(keys_ref, lens_ref, out_ref, outlen_ref,
 
         op = jax.lax.cond(llen <= MAX_SHORT_LITERAL, short_case, long_case)
 
-        full = llen // _UNROLL
+        chunks = (llen + _UNROLL - 1) // _UNROLL  # sloppy overshoot
 
         def cp(k, _):
             base = op + k * _UNROLL
@@ -321,12 +326,7 @@ def _encode_kernel(keys_ref, lens_ref, out_ref, outlen_ref,
                 out_smem[base + u] = key_smem[sb + u] & 0xFF
             return 0
 
-        def cp_rem(k, _):
-            out_smem[op + k] = key_smem[lit_start + k] & 0xFF
-            return 0
-
-        jax.lax.fori_loop(0, full, cp, 0, unroll=False)
-        jax.lax.fori_loop(full * _UNROLL, llen, cp_rem, 0, unroll=False)
+        jax.lax.fori_loop(0, chunks, cp, 0, unroll=False)
         return op + llen
 
     def emit_literal_checked(op, lit_start, lit_end):
@@ -448,16 +448,19 @@ def _encode_kernel(keys_ref, lens_ref, out_ref, outlen_ref,
 
 
 def _keys_from_frags(frags):
-    """Vectorized 4-byte LE key at every position (XLA elementwise)."""
+    """Vectorized 4-byte LE key at every position (XLA elementwise),
+    zero-padded by 1024 so sloppy scalar-loop overreads stay in
+    bounds."""
     B, F = frags.shape
     pad = jnp.zeros((B, 4), jnp.int32)
     d = jnp.concatenate([frags.astype(jnp.int32), pad], axis=1)
-    return (
+    keys = (
         d[:, 0:F]
         | (d[:, 1 : F + 1] << 8)
         | (d[:, 2 : F + 2] << 16)
         | (d[:, 3 : F + 3] << 24)
     )
+    return jnp.concatenate([keys, jnp.zeros((B, 1024), jnp.int32)], axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -495,7 +498,7 @@ def encode_blocks_scalar(frags, lengths, interpret: bool | None = None):
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
-            pltpu.SMEM((F,), jnp.int32),
+            pltpu.SMEM((F + 1024,), jnp.int32),  # overread slack
             pltpu.SMEM((oc,), jnp.int32),
             pltpu.SMEM((1 << _HASH_BITS,), jnp.int32),
             pltpu.SemaphoreType.DMA,

@@ -1,0 +1,87 @@
+"""Multi-host driver: global-mesh codec over a pod slice.
+
+The reference has no distributed layer (SURVEY.md §2.4); this is the
+framework's scale-out story for the BASELINE 10 GB corpus config:
+
+* each host feeds only its addressable shard of the block batch;
+* the codec body is communication-free (block independence);
+* ordered assembly needs only the per-block compressed-length vector,
+  which is all-gathered (tiny) and prefix-summed so every host knows
+  every block's byte offset in the final stream;
+* compressed payload bytes never move between hosts — each host writes
+  its shard at its offsets (e.g., into a shared filestore or via a
+  final ICI/DCN gather when a single buffer is required).
+
+Testable without a pod: the same code runs on the 8-virtual-device CPU
+mesh (tests/test_parallel.py); ``initialize`` is a thin wrapper over
+``jax.distributed.initialize``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+
+from snappier_tpu.constants import BLOCK_SIZE
+from snappier_tpu.format.varint import write_varint
+from snappier_tpu.parallel.mesh import make_mesh, sharded_compress
+
+
+def initialize(coordinator_address: str | None = None, **kw) -> None:
+    """Join the multi-host runtime (call once per process, before any
+    device computation). No-op when running single-process."""
+    if coordinator_address is None and jax.process_count() == 1:
+        return
+    jax.distributed.initialize(coordinator_address, **kw)
+
+
+def compress_corpus_sharded(data: bytes, mesh=None, kernel: str | None = None):
+    """Compress an arbitrarily large buffer data-parallel over the mesh.
+
+    Splits into 64 KiB fragments, pads the batch to the mesh size,
+    compresses sharded, and returns ``(payload, meta)`` where payload
+    is the full block-format bytes (host-assembled in order using the
+    replicated offsets) and meta carries per-block lengths/offsets for
+    zero-copy scatter writes on multi-host deployments.
+
+    On a multi-host run each host only materializes its addressable
+    shard of ``bodies``; the offsets vector is identical everywhere, so
+    hosts can write disjoint byte ranges of the output independently.
+    """
+    mesh = mesh or make_mesh()
+    nd = int(np.prod(list(mesh.shape.values())))
+    arr = np.frombuffer(bytes(data), np.uint8)
+    n = len(arr)
+    nfrags = max(1, -(-n // BLOCK_SIZE))
+    b = -(-nfrags // nd) * nd  # pad batch to mesh multiple
+    frags = np.zeros((b, BLOCK_SIZE), np.int32)
+    lengths = np.zeros(b, np.int32)
+    for i in range(nfrags):
+        frag = arr[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE]
+        frags[i, : len(frag)] = frag
+        lengths[i] = len(frag)
+
+    bodies, body_lens, offsets = sharded_compress(
+        frags, lengths, mesh=mesh, kernel=kernel
+    )
+    body_lens = np.asarray(body_lens)
+    offsets = np.asarray(offsets)
+
+    preamble = write_varint(n)
+    total = int(offsets[nfrags - 1] + body_lens[nfrags - 1]) if nfrags else 0
+    payload = bytearray(len(preamble) + total)
+    payload[: len(preamble)] = preamble
+    bodies_np = np.asarray(bodies)  # multi-host: addressable shards only
+    base = len(preamble)
+    for i in range(nfrags):
+        o = base + int(offsets[i])
+        payload[o : o + int(body_lens[i])] = (
+            bodies_np[i, : int(body_lens[i])].astype(np.uint8).tobytes()
+        )
+    meta = {
+        "uncompressed_length": n,
+        "block_lengths": body_lens[:nfrags],
+        "block_offsets": offsets[:nfrags] + base,
+    }
+    return bytes(payload), meta

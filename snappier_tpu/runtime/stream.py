@@ -454,3 +454,15 @@ class SnappyReader:
 
     def __exit__(self, *exc):
         self.close()
+
+
+def SnappyStream(inner, mode: str = "rb", **kw):
+    """Convenience factory mirroring the reference's single
+    ``SnappyStream`` class (SnappyStream.cs:55 ctor with
+    CompressionMode): ``mode='rb'`` returns a :class:`SnappyReader`,
+    ``mode='wb'`` a :class:`SnappyWriter`."""
+    if mode in ("rb", "r", "read", "decompress"):
+        return SnappyReader(inner, **kw)
+    if mode in ("wb", "w", "write", "compress"):
+        return SnappyWriter(inner, **kw)
+    raise ValueError(f"unsupported mode {mode!r}")
