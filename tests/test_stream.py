@@ -126,3 +126,29 @@ def test_stream_errors():
 def test_empty_stream():
     assert st.stream_compress(b"") == STREAM_HEADER
     assert st.stream_decompress(STREAM_HEADER) == b""
+
+
+def test_known_8192_chunk_stress():
+    """Regression data from the reference: a sequence that broke its
+    streaming decompress with the default 8192-byte transfer chunks
+    (SnappyStreamTests.cs:196-216, streamerrorsequence.txt)."""
+    import pathlib
+
+    p = pathlib.Path("/root/reference/Snappier.Tests/TestData/streamerrorsequence.txt")
+    if not p.exists():
+        pytest.skip("regression data unavailable")
+    original = bytes.fromhex(p.read_text().strip().replace("\n", ""))
+    sink = io.BytesIO()
+    with SnappyWriter(sink, leave_open=True) as w:
+        w.write(original)
+    framed = sink.getvalue()
+    # decode through the 8192-byte transfer-buffer reader path
+    with SnappyReader(io.BytesIO(framed)) as r:
+        assert r.read() == original
+    # and byte-at-a-time incremental feeds
+    d = StreamDecompressor()
+    out = bytearray()
+    for i in range(0, len(framed), 1000):
+        out += d.decompress(framed[i : i + 1000])
+    d.finish()
+    assert bytes(out) == original
