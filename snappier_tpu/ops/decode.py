@@ -44,7 +44,6 @@ from snappier_tpu.constants import (
     MAX_SHORT_LITERAL,
     TAG_COPY1,
     TAG_COPY2,
-    TAG_COPY4,
     TAG_LITERAL,
 )
 

@@ -35,7 +35,6 @@ concatenates fragments and prepends the preamble
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

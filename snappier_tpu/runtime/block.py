@@ -55,8 +55,18 @@ def _as_u8(data) -> np.ndarray:
     return np.frombuffer(bytes(data), dtype=np.uint8)
 
 
+def _device_kernel() -> str:
+    """Scalar-core Pallas kernels on real TPUs, portable scan kernels
+    elsewhere (see ops/pallas/scalar_codec.py for the rationale)."""
+    return "scalar" if jax.default_backend() == "tpu" else "scan"
+
+
 @functools.cache
 def _encode_batch_fn():
+    if _device_kernel() == "scalar":
+        from snappier_tpu.ops.pallas.scalar_codec import encode_blocks_scalar
+
+        return encode_blocks_scalar
     # lax.map, not vmap: vmapped sort/gather lowering gives no
     # amortization on TPU; map keeps the well-compiled per-block shape.
     return jax.jit(
@@ -66,6 +76,10 @@ def _encode_batch_fn():
 
 @functools.cache
 def _decode_batch_fn(out_cap: int):
+    if _device_kernel() == "scalar":
+        from snappier_tpu.ops.pallas.scalar_codec import decode_blocks_scalar
+
+        return functools.partial(decode_blocks_scalar, out_cap=out_cap)
     return jax.jit(
         lambda cs, ns: jax.lax.map(
             lambda t: decode_block(t[0], t[1], out_cap=out_cap), (cs, ns)
@@ -174,14 +188,15 @@ def decompress(data, engine: str = "auto") -> bytes:
     if expected > 32 * len(arr) + 64:
         raise InvalidDataError("length preamble exceeds possible expansion")
     cap = _bucket(len(arr) + 8)
-    buf = np.zeros(cap, np.int32)
-    buf[: len(arr)] = arr
+    buf = np.zeros((1, cap), np.int32)
+    buf[0, : len(arr)] = arr
     out_cap = _bucket(expected)
-    out, out_len, err = decode_block(
-        jnp.asarray(buf), jnp.int32(len(arr)), out_cap
+    outs, out_lens, errs = decompress_blocks(
+        buf, np.array([len(arr)], np.int32), out_cap
     )
-    _raise_for_err(int(err))
-    return np.asarray(out)[: int(out_len)].astype(np.uint8).tobytes()
+    _raise_for_err(int(np.asarray(errs)[0]))
+    out_len = int(np.asarray(out_lens)[0])
+    return np.asarray(outs)[0, :out_len].astype(np.uint8).tobytes()
 
 
 def get_uncompressed_length(data) -> int:
