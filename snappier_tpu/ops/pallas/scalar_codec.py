@@ -37,11 +37,17 @@ from snappier_tpu.ops.decode import (
 
 _UNROLL = 8
 
+#: Poison value for >31-bit wire fields: large enough to trip the
+#: normal bounds checks, small enough never to overflow int32.
+_POISON = 1 << 28
 
-def _decode_kernel(comp_ref, lens_ref, out_ref, outlen_ref, err_ref,
-                   comp_smem, out_smem, sem_in, sem_out):
+
+def _decode_kernel(comp_ref, words_ref, lens_ref, out_ref, outlen_ref,
+                   err_ref, comp_smem, words_smem, out_smem, sem_in,
+                   sem_w, sem_out):
     b = pl.program_id(0)
     cc = comp_smem.shape[0]
+    wc = words_smem.shape[0]
     ocp = out_smem.shape[0]  # padded: logical capacity + 1024 slack
     oc = ocp - 1024
     n = lens_ref[b]
@@ -50,15 +56,34 @@ def _decode_kernel(comp_ref, lens_ref, out_ref, outlen_ref, err_ref,
     # 1024) so dynamic 1-D slices stay tile-aligned for the DMA engine.
     # The output image carries 1 KiB of slack for the sloppy
     # overshooting copies; the caller guarantees n <= CC - 8 so sloppy
-    # literal overreads stay inside the compressed image.
+    # literal overreads stay inside the compressed image. The walk is
+    # latency-bound on dependent SMEM loads, so tag windows are read
+    # from a word-packed image (2 loads) instead of 5 byte loads.
     cp_in = pltpu.make_async_copy(
         comp_ref.at[pl.ds(b * cc, cc)], comp_smem, sem_in
     )
     cp_in.start()
+    cp_w = pltpu.make_async_copy(
+        words_ref.at[pl.ds(b * wc, wc)], words_smem, sem_w
+    )
+    cp_w.start()
     cp_in.wait()
+    cp_w.wait()
 
     def rd(i):
         return comp_smem[jnp.clip(i, 0, cc - 1)]
+
+    def window5(i):
+        """Bytes [i, i+5) as (v32, b4): one unaligned 32-bit window plus
+        the following byte, from two word loads."""
+        wi = i >> 2
+        sh = (i & 3) * 8
+        w0 = words_smem[wi]
+        w1 = words_smem[jnp.minimum(wi + 1, wc - 1)]
+        lo = jax.lax.shift_right_logical(w0, sh)
+        v32 = jnp.where(sh == 0, w0, lo | (w1 << (32 - sh)))
+        b4 = jax.lax.shift_right_logical(w1, sh) & 0xFF
+        return v32, b4
 
     # --- varint preamble (VarIntEncoding.Read.cs semantics) -------------
     def var_body(state):
@@ -82,117 +107,112 @@ def _decode_kernel(comp_ref, lens_ref, out_ref, outlen_ref, err_ref,
     err = jnp.where(expected < 0, ERR_BAD_PREAMBLE, err)
 
     # --- tag walk --------------------------------------------------------
+    # Ablation-measured: the walk (not the copies) is ~99% of decode
+    # time, so each tag type gets its own branch computing only its own
+    # fields rather than a branchless all-paths select tree.
     def tag_cond(state):
         ip, op, err = state
         return (ip < n) & (err == 0)
 
     def tag_body(state):
         ip, op, err = state
-        tag = rd(ip)
+        v32, b4 = window5(ip)
+        tag = v32 & 0xFF
         ttype = tag & 3
-        len6 = tag >> 2
 
-        # literal descriptor
-        lit_extra = jnp.where(
-            (ttype == 0) & (len6 >= MAX_SHORT_LITERAL), len6 - 59, 0
-        )
-        ll = jnp.where(
-            lit_extra == 0,
-            len6 + 1,
-            rd(ip + 1)
-            + jnp.where(lit_extra >= 2, rd(ip + 2) << 8, 0)
-            + jnp.where(lit_extra >= 3, rd(ip + 3) << 16, 0)
-            + jnp.where(lit_extra == 4, rd(ip + 4) << 24, 0)
-            + 1,
-        )
-        lit_hdr = 1 + lit_extra
+        def do_copy_loops(ok, is_lit, src, off, length):
+            chunks = (length + _UNROLL - 1) // _UNROLL
 
-        cp_len = jnp.where(
-            ttype == 1, ((tag >> 2) & 7) + 4, len6 + 1
-        )
-        cp_hdr = jnp.where(ttype == 1, 2, jnp.where(ttype == 2, 3, 5))
-        off = jnp.where(
-            ttype == 1,
-            ((tag >> 5) << 8) | rd(ip + 1),
-            jnp.where(
-                ttype == 2,
-                rd(ip + 1) | (rd(ip + 2) << 8),
-                rd(ip + 1)
-                | (rd(ip + 2) << 8)
-                | (rd(ip + 3) << 16)
-                | (rd(ip + 4) << 24),
-            ),
-        )
+            def copy_lit(k, _):
+                base = op + k * _UNROLL
+                sb = src + k * _UNROLL
+                for u in range(_UNROLL):
+                    out_smem[base + u] = comp_smem[sb + u]
+                return 0
 
-        is_lit = ttype == 0
-        length = jnp.where(is_lit, ll, cp_len)
-        hdr = jnp.where(is_lit, lit_hdr, cp_hdr)
-        advance = hdr + jnp.where(is_lit, length, 0)
+            def copy_back(k, _):
+                base = op + k * _UNROLL
+                sb = src + k * _UNROLL
+                for u in range(_UNROLL):
+                    out_smem[base + u] = out_smem[sb + u]
+                return 0
 
-        err = jnp.where(ip + advance > n, ERR_TRUNCATED_TAG, err)
-        err = jnp.where(
-            ~is_lit & ((off <= 0) | (off > op)), ERR_BAD_OFFSET, err
-        )
-        err = jnp.where(
-            (op + length > expected) | (length < 0), ERR_LENGTH_MISMATCH, err
-        )
+            def copy_back_byte(k, _):
+                out_smem[op + k] = out_smem[src + k]
+                return 0
 
-        src = jnp.where(is_lit, ip + hdr, op - off)
-        ok = err == 0
-        # Unpredicated full chunks + a short byte remainder: per-byte
-        # bound checks inside the unrolled body cost more than the
-        # copies themselves.
-        full = length // _UNROLL
+            @pl.when(ok & is_lit)
+            def _():
+                jax.lax.fori_loop(0, chunks, copy_lit, 0, unroll=False)
 
-        # No clips inside the hot loops: when err == 0 every index is
-        # already proven in range by the validation above.
-        def copy_lit(k, _):
-            base = op + k * _UNROLL
-            sb = src + k * _UNROLL
-            for u in range(_UNROLL):
-                out_smem[base + u] = comp_smem[sb + u]
-            return 0
+            @pl.when(ok & ~is_lit & (off >= _UNROLL))
+            def _():
+                jax.lax.fori_loop(0, chunks, copy_back, 0, unroll=False)
 
-        def copy_lit_rem(k, _):
-            out_smem[op + k] = comp_smem[src + k]
-            return 0
+            @pl.when(ok & ~is_lit & (off < _UNROLL))
+            def _():
+                jax.lax.fori_loop(0, length, copy_back_byte, 0, unroll=False)
 
-        def copy_back(k, _):
-            # off >= _UNROLL: every read in this chunk precedes the
-            # write frontier, so the unrolled block has no hazards.
-            base = op + k * _UNROLL
-            sb = src + k * _UNROLL
-            for u in range(_UNROLL):
-                out_smem[base + u] = out_smem[sb + u]
-            return 0
+        def lit_path():
+            len6 = tag >> 2
 
-        def copy_back_byte(k, _):
-            # Also the off < _UNROLL path: byte-serial pattern
-            # replication (IncrementalCopy, CopyHelpers.cs:64-219).
-            out_smem[op + k] = out_smem[src + k]
-            return 0
+            def short_lit():
+                return len6 + 1, jnp.int32(1)
 
-        @pl.when(ok & is_lit)
-        def _():
-            jax.lax.fori_loop(0, full, copy_lit, 0, unroll=False)
-            jax.lax.fori_loop(
-                full * _UNROLL, length, copy_lit_rem, 0, unroll=False
+            def long_lit():
+                extra = len6 - 59
+                rest = jax.lax.shift_right_logical(v32, 8)
+                mask = jax.lax.shift_right_logical(
+                    jnp.int32(-1), (3 - extra + 1) * 8
+                )
+                ll = jnp.where(extra >= 4, rest, rest & mask)
+                ll = jnp.where((extra == 4) & (b4 > 0), _POISON, ll)
+                return ll + 1, 1 + extra
+
+            length, hdr = jax.lax.cond(
+                len6 < MAX_SHORT_LITERAL, short_lit, long_lit
+            )
+            e = jnp.where(ip + hdr + length > n, ERR_TRUNCATED_TAG, 0)
+            e = jnp.where(
+                (op + length > expected) | (length < 0),
+                ERR_LENGTH_MISMATCH,
+                e,
+            )
+            ok = e == 0
+            do_copy_loops(ok, True, ip + hdr, jnp.int32(0), length)
+            return (
+                ip + hdr + length,
+                op + jnp.where(ok, length, 0),
+                e,
             )
 
-        @pl.when(ok & ~is_lit & (off >= _UNROLL))
-        def _():
-            jax.lax.fori_loop(0, full, copy_back, 0, unroll=False)
-            jax.lax.fori_loop(
-                full * _UNROLL, length, copy_back_byte, 0, unroll=False
-            )
+        def copy_path():
+            length = jnp.where(ttype == 1, ((tag >> 2) & 7) + 4, (tag >> 2) + 1)
+            rest = jax.lax.shift_right_logical(v32, 8)
 
-        @pl.when(ok & ~is_lit & (off < _UNROLL))
-        def _():
-            jax.lax.fori_loop(0, length, copy_back_byte, 0, unroll=False)
+            def copy12():
+                hdr = jnp.where(ttype == 1, jnp.int32(2), jnp.int32(3))
+                off = jnp.where(
+                    ttype == 1,
+                    ((tag >> 5) << 8) | (rest & 0xFF),
+                    rest & 0xFFFF,
+                )
+                return hdr, off
 
-        ip = ip + advance
-        op = op + jnp.where(err == 0, length, 0)
-        return ip, op, err
+            def copy4():
+                off = rest | (b4 << 24)
+                off = jnp.where((off >> 24) > 0, _POISON, off)
+                return jnp.int32(5), off
+
+            hdr, off = jax.lax.cond(ttype < 3, copy12, copy4)
+            e = jnp.where(ip + hdr > n, ERR_TRUNCATED_TAG, 0)
+            e = jnp.where((off <= 0) | (off > op), ERR_BAD_OFFSET, e)
+            e = jnp.where(op + length > expected, ERR_LENGTH_MISMATCH, e)
+            ok = e == 0
+            do_copy_loops(ok, False, op - off, off, length)
+            return ip + hdr, op + jnp.where(ok, length, 0), e
+
+        return jax.lax.cond(ttype == 0, lit_path, copy_path)
 
     ip, op, err = jax.lax.while_loop(
         tag_cond, tag_body, (pre_len, jnp.int32(0), err)
@@ -236,6 +256,16 @@ def decode_blocks_scalar(
     B, CC = comp.shape
     assert CC % 1024 == 0 and out_cap % 1024 == 0  # 1-D DMA tiling
     ocp = out_cap + 1024  # sloppy-copy slack
+    # Word-packed image of the compressed bytes for the tag walk; its
+    # rows are padded independently to the 1024-word DMA tiling.
+    words = (
+        comp.reshape(B, CC // 4, 4)
+        * jnp.array([1, 1 << 8, 1 << 16, 1 << 24], jnp.int32)
+    ).sum(axis=2, dtype=jnp.int32)
+    wc = -(-(CC // 4) // 1024) * 1024
+    words = jnp.concatenate(
+        [words, jnp.zeros((B, wc - CC // 4), jnp.int32)], axis=1
+    )
     out_flat, out_lens, errs = pl.pallas_call(
         _decode_kernel,
         grid=(B,),
@@ -246,6 +276,7 @@ def decode_blocks_scalar(
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
@@ -255,13 +286,15 @@ def decode_blocks_scalar(
         ),
         scratch_shapes=[
             pltpu.SMEM((CC,), jnp.int32),
+            pltpu.SMEM((wc,), jnp.int32),
             pltpu.SMEM((ocp,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(comp.reshape(-1), comp_lens.astype(jnp.int32))
+    )(comp.reshape(-1), words.reshape(-1), comp_lens.astype(jnp.int32))
     return out_flat.reshape(B, ocp)[:, :out_cap], out_lens, errs
 
 
