@@ -415,17 +415,6 @@ def _encode_kernel(keys_ref, lens_ref, out_ref, outlen_ref,
         ip, lit_start, op, skip = st
         return ip + margin < n
 
-    def probe(at):
-        cur = key(at)
-        h = ((cur * _HASH_MUL) >> (32 - _HASH_BITS)) & ((1 << _HASH_BITS) - 1)
-        entry = table_smem[h]
-        table_smem[h] = epoch | at
-        cand = entry & 0xFFFF
-        hit = (
-            ((entry >> 16) == (epoch >> 16)) & (cand < at) & (key(cand) == cur)
-        )
-        return hit, cand
-
     def on_hit(at, cand, lit_start, op):
         # 4-byte-stride extension via the key array, then a <=3 byte
         # tail (FindMatchLength shape, SnappyCompressor.cs:562-688).
@@ -465,21 +454,52 @@ def _encode_kernel(keys_ref, lens_ref, out_ref, outlen_ref,
 
     def scan_body(st):
         ip, lit_start, op, skip = st
-        # Dual-position probing: miss runs burn loop overhead, so each
-        # iteration tries two adjacent positions before striding.
-        hit1, cand1 = probe(ip)
-
-        def miss1():
-            ip2 = ip + 1
-            hit2, cand2 = probe(ip2)
-            return jax.lax.cond(
-                hit2,
-                lambda: on_hit(ip2, cand2, lit_start, op),
-                lambda: (ip2 + (skip >> 5), lit_start, op, skip + 1),
+        # Branch-free quad probing: the loop machinery dominates the
+        # miss path (~140 cycles/iteration measured) while *independent*
+        # SMEM loads overlap almost for free — so probe four adjacent
+        # positions unconditionally, resolve the first hit with plain
+        # arithmetic, and branch once. Intra-group key equality supplies
+        # the short-offset candidates a sequential probe would have
+        # found via its own just-written entries.
+        curs = [key(ip + d) for d in range(4)]
+        mixes = [c * _HASH_MUL for c in curs]
+        hs = [
+            (m >> (32 - _HASH_BITS)) & ((1 << _HASH_BITS) - 1) for m in mixes
+        ]
+        entries = [table_smem[h] for h in hs]
+        for d in range(4):
+            table_smem[hs[d]] = epoch | (ip + d)
+        hits = []
+        cands = []
+        for d in range(4):
+            cand_t = entries[d] & 0xFFFF
+            ok = (
+                ((entries[d] >> 16) == (epoch >> 16))
+                & (cand_t < ip + d)
+                & (key(cand_t) == curs[d])
             )
+            cand = jnp.where(ok, cand_t, 0)
+            for i in range(d):
+                same = curs[i] == curs[d]
+                cand = jnp.where(same, ip + i, cand)  # nearest previous wins
+                ok = ok | same
+            hits.append(ok)
+            cands.append(cand)
+
+        hit_any = hits[0] | hits[1] | hits[2] | hits[3]
+        d_first = jnp.where(
+            hits[0], 0, jnp.where(hits[1], 1, jnp.where(hits[2], 2, 3))
+        )
+        cand_first = jnp.where(
+            hits[0],
+            cands[0],
+            jnp.where(hits[1], cands[1], jnp.where(hits[2], cands[2], cands[3])),
+        )
 
         return jax.lax.cond(
-            hit1, lambda: on_hit(ip, cand1, lit_start, op), miss1
+            hit_any,
+            lambda: on_hit(ip + d_first, cand_first, lit_start, op),
+            lambda: (ip + 3 + (skip >> 5), lit_start, op, skip + 1),
         )
 
     ip, lit_start, op, skip = jax.lax.while_loop(
