@@ -84,3 +84,12 @@ def test_native_fuzz():
         data = out.tobytes()
         assert native.decompress(native.compress(data)) == data, i
         assert oracle.decompress(native.compress(data)) == data, i
+
+
+def test_native_full_corpus_roundtrip(corpus):
+    """All 11 canonical files through the native engine, cross-checked
+    on the oracle (CompressAll/DecompressAll breadth, SURVEY.md §6)."""
+    for name, data in corpus.items():
+        comp = native.compress(data)
+        assert native.decompress(comp) == data, name
+        assert oracle.decompress(comp) == data, name
