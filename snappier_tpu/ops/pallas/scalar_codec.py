@@ -13,9 +13,12 @@ split between tag bookkeeping and bulk copies
 TPU's scalar+DMA machinery.
 
 Layout: one grid program per block; the compressed row is DMA'd
-HBM->SMEM, decoded scalar-sequentially into an SMEM output image, and
-DMA'd back out. Byte values ride in int32 lanes (one byte per word —
-simple and bounds-checked; word-packing is a planned follow-up).
+HBM->SMEM (byte-per-int32 image for copies plus a word-packed image
+for the latency-bound tag walk), decoded scalar-sequentially into an
+SMEM output image, and DMA'd back out. Measured findings that shaped
+the kernels are recorded in docs/ARCHITECTURE.md and docs/ROADMAP.md
+(including the negative results: conditional probes serialize; the
+decode walk is serial-dependency-bound).
 """
 
 from __future__ import annotations
