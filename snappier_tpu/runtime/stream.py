@@ -466,3 +466,76 @@ def SnappyStream(inner, mode: str = "rb", **kw):
     if mode in ("wb", "w", "write", "compress"):
         return SnappyWriter(inner, **kw)
     raise ValueError(f"unsupported mode {mode!r}")
+
+
+# ---------------------------------------------------------------------------
+# Async adapters (SnappyStream's async surface)
+# ---------------------------------------------------------------------------
+
+
+class AsyncSnappyWriter:
+    """Async twin of :class:`SnappyWriter` (parity: SnappyStream's
+    WriteAsync/FlushAsync/DisposeAsync surface, SnappyStream.cs:393,
+    :99, :533). Codec work runs in a worker thread via
+    ``asyncio.to_thread``; like the reference's single-async-operation
+    guard (SnappyStream.cs:611-637), concurrent operations on one
+    stream are serialized with an internal lock."""
+
+    def __init__(self, inner, leave_open: bool = False, engine: str = "auto"):
+        import asyncio
+
+        self._w = SnappyWriter(inner, leave_open=leave_open, engine=engine)
+        self._lock = asyncio.Lock()
+
+    async def write(self, data: bytes) -> int:
+        import asyncio
+
+        async with self._lock:
+            return await asyncio.to_thread(self._w.write, data)
+
+    async def flush(self) -> None:
+        import asyncio
+
+        async with self._lock:
+            await asyncio.to_thread(self._w.flush)
+
+    async def close(self) -> None:
+        import asyncio
+
+        async with self._lock:
+            await asyncio.to_thread(self._w.close)
+
+    async def __aenter__(self):
+        return self
+
+    async def __aexit__(self, *exc):
+        await self.close()
+
+
+class AsyncSnappyReader:
+    """Async twin of :class:`SnappyReader` (ReadAsync surface,
+    SnappyStream.cs:235-346)."""
+
+    def __init__(self, inner, **kw):
+        import asyncio
+
+        self._r = SnappyReader(inner, **kw)
+        self._lock = asyncio.Lock()
+
+    async def read(self, size: int = -1) -> bytes:
+        import asyncio
+
+        async with self._lock:
+            return await asyncio.to_thread(self._r.read, size)
+
+    async def close(self) -> None:
+        import asyncio
+
+        async with self._lock:
+            await asyncio.to_thread(self._r.close)
+
+    async def __aenter__(self):
+        return self
+
+    async def __aexit__(self, *exc):
+        await self.close()

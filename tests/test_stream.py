@@ -152,3 +152,29 @@ def test_known_8192_chunk_stress():
         out += d.decompress(framed[i : i + 1000])
     d.finish()
     assert bytes(out) == original
+
+
+def test_async_stream_adapters():
+    """Async read/write surface (SnappyStream async variants parity)."""
+    import asyncio
+
+    from snappier_tpu.runtime.stream import AsyncSnappyReader, AsyncSnappyWriter
+
+    data = load_corpus_file("asyoulik.txt")
+
+    async def roundtrip():
+        sink = io.BytesIO()
+        async with AsyncSnappyWriter(sink, leave_open=True) as w:
+            for i in range(0, len(data), 30000):
+                await w.write(data[i : i + 30000])
+            await w.flush()
+        out = bytearray()
+        async with AsyncSnappyReader(io.BytesIO(sink.getvalue())) as r:
+            while True:
+                piece = await r.read(50000)
+                if not piece:
+                    break
+                out += piece
+        return bytes(out)
+
+    assert asyncio.run(roundtrip()) == data
