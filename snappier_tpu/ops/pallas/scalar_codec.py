@@ -45,9 +45,44 @@ _UNROLL = 8
 _POISON = 1 << 28
 
 
-def _decode_kernel(comp_ref, words_ref, lens_ref, out_ref, outlen_ref,
-                   err_ref, comp_smem, words_smem, out_smem, sem_in,
-                   sem_w, sem_out):
+@functools.cache
+def _tag_lut():
+    """256-entry tag descriptor table — the TPU incarnation of the
+    reference's CharTable (Constants.cs:29-76). Per tag byte:
+    bits 0-2 header length, bit 3 is-literal, bits 4-10 inline length,
+    bits 11-13 literal extra-length bytes, bits 14-24 copy-1 offset
+    high bits, bits 25-26 tag type. One SMEM load replaces the
+    branch/select dispatch tree (measured ~2x on the walk). Cached as
+    NumPy (jnp under jit would capture tracers)."""
+    import numpy as _np
+
+    lut = _np.zeros(256, _np.int32)
+    for t in range(256):
+        tt = t & 3
+        l6 = t >> 2
+        if tt == 0:
+            if l6 < 60:
+                hdr, L, extra = 1, l6 + 1, 0
+            else:
+                extra = l6 - 59
+                hdr, L = 1 + extra, 0
+            is_lit, offhi = 1, 0
+        elif tt == 1:
+            hdr, L, extra, is_lit, offhi = 2, ((t >> 2) & 7) + 4, 0, 0, (t >> 5) << 8
+        elif tt == 2:
+            hdr, L, extra, is_lit, offhi = 3, l6 + 1, 0, 0, 0
+        else:
+            hdr, L, extra, is_lit, offhi = 5, l6 + 1, 0, 0, 0
+        lut[t] = (
+            hdr | (is_lit << 3) | (L << 4) | (extra << 11) | (offhi << 14)
+            | (tt << 25)
+        )
+    return lut
+
+
+def _decode_kernel(comp_ref, words_ref, lut_ref, lens_ref, out_ref,
+                   outlen_ref, err_ref, comp_smem, words_smem, out_smem,
+                   sem_in, sem_w, sem_out):
     b = pl.program_id(0)
     cc = comp_smem.shape[0]
     wc = words_smem.shape[0]
@@ -121,101 +156,75 @@ def _decode_kernel(comp_ref, words_ref, lens_ref, out_ref, outlen_ref,
         ip, op, err = state
         v32, b4 = window5(ip)
         tag = v32 & 0xFF
-        ttype = tag & 3
+        d = lut_ref[tag]
+        hdr = d & 7
+        is_lit = (d & 8) != 0
+        L = (d >> 4) & 0x7F
+        extra = (d >> 11) & 7
+        rest = jax.lax.shift_right_logical(v32, 8)
 
-        def do_copy_loops(ok, is_lit, src, off, length):
-            chunks = (length + _UNROLL - 1) // _UNROLL
+        # Long-literal length from the extra bytes (branchless; the
+        # extra == 0 lane of `mask` is UB-shift garbage but selected
+        # away; extra == 4 requires byte 4 == 0 or poisons).
+        mask = jax.lax.shift_right_logical(jnp.int32(-1), (4 - extra) * 8)
+        longlen = (rest & mask) + 1
+        longlen = jnp.where((extra == 4) & (b4 > 0), _POISON, longlen)
+        length = jnp.where(is_lit & (extra > 0), longlen, L)
 
-            def copy_lit(k, _):
-                base = op + k * _UNROLL
-                sb = src + k * _UNROLL
-                for u in range(_UNROLL):
-                    out_smem[base + u] = comp_smem[sb + u]
-                return 0
+        ttype = d >> 25
+        off = jnp.where(
+            ttype == 1,
+            ((d >> 14) & 0x7FF) | (rest & 0xFF),
+            jnp.where(
+                ttype == 2,
+                rest & 0xFFFF,
+                jnp.where(b4 > 0, _POISON, rest),
+            ),
+        )
 
-            def copy_back(k, _):
-                base = op + k * _UNROLL
-                sb = src + k * _UNROLL
-                for u in range(_UNROLL):
-                    out_smem[base + u] = out_smem[sb + u]
-                return 0
+        advance = hdr + jnp.where(is_lit, length, 0)
+        e = jnp.where(ip + advance > n, ERR_TRUNCATED_TAG, 0)
+        e = jnp.where(
+            ~is_lit & ((off <= 0) | (off > op)), ERR_BAD_OFFSET, e
+        )
+        e = jnp.where(
+            (op + length > expected) | (length < 0), ERR_LENGTH_MISMATCH, e
+        )
+        ok = e == 0
+        src = jnp.where(is_lit, ip + hdr, op - off)
+        chunks = (length + _UNROLL - 1) // _UNROLL
 
-            def copy_back_byte(k, _):
-                out_smem[op + k] = out_smem[src + k]
-                return 0
+        def copy_lit(k, _):
+            base = op + k * _UNROLL
+            sb = src + k * _UNROLL
+            for u in range(_UNROLL):
+                out_smem[base + u] = comp_smem[sb + u]
+            return 0
 
-            @pl.when(ok & is_lit)
-            def _():
-                jax.lax.fori_loop(0, chunks, copy_lit, 0, unroll=False)
+        def copy_back(k, _):
+            base = op + k * _UNROLL
+            sb = src + k * _UNROLL
+            for u in range(_UNROLL):
+                out_smem[base + u] = out_smem[sb + u]
+            return 0
 
-            @pl.when(ok & ~is_lit & (off >= _UNROLL))
-            def _():
-                jax.lax.fori_loop(0, chunks, copy_back, 0, unroll=False)
+        def copy_back_byte(k, _):
+            out_smem[op + k] = out_smem[src + k]
+            return 0
 
-            @pl.when(ok & ~is_lit & (off < _UNROLL))
-            def _():
-                jax.lax.fori_loop(0, length, copy_back_byte, 0, unroll=False)
+        @pl.when(ok & is_lit)
+        def _():
+            jax.lax.fori_loop(0, chunks, copy_lit, 0, unroll=False)
 
-        def lit_path():
-            len6 = tag >> 2
+        @pl.when(ok & ~is_lit & (off >= _UNROLL))
+        def _():
+            jax.lax.fori_loop(0, chunks, copy_back, 0, unroll=False)
 
-            def short_lit():
-                return len6 + 1, jnp.int32(1)
+        @pl.when(ok & ~is_lit & (off < _UNROLL))
+        def _():
+            jax.lax.fori_loop(0, length, copy_back_byte, 0, unroll=False)
 
-            def long_lit():
-                extra = len6 - 59
-                rest = jax.lax.shift_right_logical(v32, 8)
-                mask = jax.lax.shift_right_logical(
-                    jnp.int32(-1), (3 - extra + 1) * 8
-                )
-                ll = jnp.where(extra >= 4, rest, rest & mask)
-                ll = jnp.where((extra == 4) & (b4 > 0), _POISON, ll)
-                return ll + 1, 1 + extra
-
-            length, hdr = jax.lax.cond(
-                len6 < MAX_SHORT_LITERAL, short_lit, long_lit
-            )
-            e = jnp.where(ip + hdr + length > n, ERR_TRUNCATED_TAG, 0)
-            e = jnp.where(
-                (op + length > expected) | (length < 0),
-                ERR_LENGTH_MISMATCH,
-                e,
-            )
-            ok = e == 0
-            do_copy_loops(ok, True, ip + hdr, jnp.int32(0), length)
-            return (
-                ip + hdr + length,
-                op + jnp.where(ok, length, 0),
-                e,
-            )
-
-        def copy_path():
-            length = jnp.where(ttype == 1, ((tag >> 2) & 7) + 4, (tag >> 2) + 1)
-            rest = jax.lax.shift_right_logical(v32, 8)
-
-            def copy12():
-                hdr = jnp.where(ttype == 1, jnp.int32(2), jnp.int32(3))
-                off = jnp.where(
-                    ttype == 1,
-                    ((tag >> 5) << 8) | (rest & 0xFF),
-                    rest & 0xFFFF,
-                )
-                return hdr, off
-
-            def copy4():
-                off = rest | (b4 << 24)
-                off = jnp.where((off >> 24) > 0, _POISON, off)
-                return jnp.int32(5), off
-
-            hdr, off = jax.lax.cond(ttype < 3, copy12, copy4)
-            e = jnp.where(ip + hdr > n, ERR_TRUNCATED_TAG, 0)
-            e = jnp.where((off <= 0) | (off > op), ERR_BAD_OFFSET, e)
-            e = jnp.where(op + length > expected, ERR_LENGTH_MISMATCH, e)
-            ok = e == 0
-            do_copy_loops(ok, False, op - off, off, length)
-            return ip + hdr, op + jnp.where(ok, length, 0), e
-
-        return jax.lax.cond(ttype == 0, lit_path, copy_path)
+        return ip + advance, op + jnp.where(ok, length, 0), e
 
     ip, op, err = jax.lax.while_loop(
         tag_cond, tag_body, (pre_len, jnp.int32(0), err)
@@ -281,6 +290,7 @@ def decode_blocks_scalar(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
@@ -297,7 +307,12 @@ def decode_blocks_scalar(
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(comp.reshape(-1), words.reshape(-1), comp_lens.astype(jnp.int32))
+    )(
+        comp.reshape(-1),
+        words.reshape(-1),
+        jnp.asarray(_tag_lut()),
+        comp_lens.astype(jnp.int32),
+    )
     return out_flat.reshape(B, ocp)[:, :out_cap], out_lens, errs
 
 
