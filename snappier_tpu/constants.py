@@ -10,8 +10,8 @@ implemented by this framework:
   ``Snappier/Internal/SnappyStreamCompressor.cs:18-21``).
 
 Everything here is *format law*, identical across implementations. The
-TPU-side parse tables derived from these constants live in
-:mod:`snappier_tpu.format.tags`.
+TPU-side tag-descriptor LUT derived from these constants lives in
+:mod:`snappier_tpu.ops.pallas.scalar_codec` (``_tag_lut``).
 """
 
 from __future__ import annotations
@@ -91,3 +91,30 @@ def max_compressed_length(n: int) -> int:
     from snappier_tpu.format.varint import varint_len
 
     return varint_len(n) + max_block_compressed_length(n)
+
+
+def greedy_emit_bound(n: int) -> int:
+    """Provable upper bound on the tag-stream bytes THIS framework's
+    greedy encoders emit for an ``n``-byte fragment (tighter than
+    :func:`max_block_compressed_length`, which bounds *any* conforming
+    encoder and is what the decoder must tolerate).
+
+    Derivation: copies cover >= 4 bytes with <= 3 emitted bytes, so
+    they never expand. A literal run of length L costs L + 1 + e bytes
+    with e extra length bytes (e = 0 for L <= 60, 1 for L <= 256, else
+    2 since L <= 65536). The worst sustained expansion alternates
+    61..256-byte literal runs (e = 1, net +1 after the copy's -1) with
+    4-byte copy-2 matches: +1 per 65 input bytes. One final unpaired
+    run adds <= 3. Hence ``n + n // 65 + 8`` (slack for the final run
+    and empty-input edge) bounds emission for every input."""
+    return n + n // 65 + 8
+
+
+def plausible_uncompressed_bound(comp_len: int) -> int:
+    """Largest uncompressed length any valid ``comp_len``-byte block
+    stream could claim. A 3-byte copy-2 tag yields at most 64 output
+    bytes (~21.4x per compressed byte); 32x + slack is a safe upper
+    bound used to reject oversized length preambles before allocating
+    (SnappyTests.cs:244-331 behavior). One definition shared by every
+    decode front-end."""
+    return 32 * comp_len + 64

@@ -37,6 +37,7 @@ from snappier_tpu.constants import (
     TAG_COPY4,
     TAG_LITERAL,
     max_compressed_length,
+    plausible_uncompressed_bound,
 )
 from snappier_tpu.errors import InvalidDataError
 from snappier_tpu.format.varint import read_varint, write_varint
@@ -195,10 +196,9 @@ def decompress(data) -> bytes:
     buf = bytes(data)
     expected, pos = read_varint(buf)
     n = len(buf)
-    # A valid stream cannot expand more than ~21.4x per compressed byte
-    # (a 3-byte copy-2 tag yields at most 64 output bytes); reject
-    # oversized length claims before allocating (SnappyTests.cs:244-331).
-    if expected > 32 * n + 64:
+    # Reject oversized length claims before allocating
+    # (SnappyTests.cs:244-331); bound shared with runtime/block.py.
+    if expected > plausible_uncompressed_bound(n):
         raise InvalidDataError("length preamble exceeds possible expansion")
     out = bytearray(expected)
     opos = 0

@@ -48,12 +48,19 @@ from snappier_tpu.constants import (
     MIN_MATCH_LENGTH,
     TAG_COPY1,
     TAG_COPY2,
+    greedy_emit_bound,
 )
 
-#: Static output-slot capacity. Greedy emission over one fragment is
-#: bounded by n + 4 + (a few tag bytes); 128 bytes of headroom is ample
-#: (worst case is one maximal literal: 1 + 2 + 65536).
-FRAGMENT_OUT_CAP = BLOCK_SIZE + 128
+#: Per-fragment output-slot headroom beyond the fragment size. Greedy
+#: emission is provably bounded by ``greedy_emit_bound(n) = n + n//65
+#: + 8`` (copies never expand; literal runs add at most 1 extra byte
+#: per 65 covered — see constants.py for the derivation), i.e. 66 552
+#: bytes for a full 64 KiB fragment. 2048 bytes of headroom covers the
+#: bound with ~1 KiB to spare; the runtime additionally hard-fails if
+#: an emitted length ever exceeds the slot (runtime/block.py).
+FRAGMENT_SLACK = 2048
+FRAGMENT_OUT_CAP = BLOCK_SIZE + FRAGMENT_SLACK
+assert greedy_emit_bound(BLOCK_SIZE) + 8 < FRAGMENT_OUT_CAP
 
 _KEY_STEPS = 15  # 15 * 4 = 60 bytes of stride-4 extension beyond the seed 4
 
@@ -74,8 +81,8 @@ def encode_block(data: jnp.ndarray, length: jnp.ndarray):
       length: traced scalar, 0 <= length <= F.
 
     Returns:
-      (out, out_len): int32[F + 128] tag-stream bytes and the traced
-      compressed body length.
+      (out, out_len): int32[F + FRAGMENT_SLACK] tag-stream bytes and
+      the traced compressed body length.
     """
     (F,) = data.shape
     assert F <= BLOCK_SIZE
@@ -217,7 +224,7 @@ def encode_block(data: jnp.ndarray, length: jnp.ndarray):
     total = out_off[-1] + size[-1]
 
     # --- 5. byte materialization -----------------------------------------
-    out_cap = F + 128
+    out_cap = F + FRAGMENT_SLACK
     scatter_idx = jnp.where(emit, out_off, out_cap)
     cover = jnp.zeros(out_cap, jnp.int32).at[scatter_idx].max(
         pos + 1, mode="drop"

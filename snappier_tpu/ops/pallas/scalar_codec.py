@@ -328,7 +328,13 @@ def _encode_kernel(keys_ref, lens_ref, out_ref, outlen_ref,
                    key_smem, out_smem, table_smem, sem_in, sem_out):
     b = pl.program_id(0)
     fc = key_smem.shape[0]  # padded: fragment + 1024 slack (overreads)
-    oc = out_smem.shape[0]  # fragment + 1024 (emission <= F + ~80)
+    # Output image: fragment + 2048. Greedy emission is provably
+    # <= n + n//65 + 8 (constants.greedy_emit_bound: copies never
+    # expand, literal runs add <= 1 byte per 65 covered), i.e. 66552
+    # for a full fragment — so even with the sloppy 8-byte copy
+    # overshoot every store lands >= 1 KiB inside the image and the
+    # unclipped payload loops below cannot write out of bounds.
+    oc = out_smem.shape[0]
     n = lens_ref[b]
 
     cp_in = pltpu.make_async_copy(
@@ -559,7 +565,7 @@ def encode_blocks_scalar(frags, lengths, interpret: bool | None = None):
       frags: int32[B, F] byte values (F <= BLOCK_SIZE, multiple of 128).
       lengths: int32[B].
 
-    Returns: (bodies int32[B, F + 1024], body_lens int32[B]) — fragment
+    Returns: (bodies int32[B, F + 2048], body_lens int32[B]) — fragment
     tag streams without varint preambles (SnappyCompressor.cs:34-80
     assembly is the caller's job).
     """
@@ -568,7 +574,7 @@ def encode_blocks_scalar(frags, lengths, interpret: bool | None = None):
     frags = frags.astype(jnp.int32)
     B, F = frags.shape
     assert F % 1024 == 0 and F <= BLOCK_SIZE  # 1-D DMA tiling
-    oc = F + 1024
+    oc = F + 2048  # provable emission bound + >=1 KiB margin (see kernel)
     keys = _keys_from_frags(frags)
     bodies, body_lens = pl.pallas_call(
         _encode_kernel,

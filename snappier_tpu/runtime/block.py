@@ -22,7 +22,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from snappier_tpu.constants import BLOCK_SIZE, max_compressed_length
+from snappier_tpu.constants import (
+    BLOCK_SIZE,
+    max_compressed_length,
+    plausible_uncompressed_bound,
+)
 from snappier_tpu.errors import BufferTooSmallError, InvalidDataError
 from snappier_tpu.format.varint import read_varint, write_varint
 from snappier_tpu.ops.decode import (
@@ -114,6 +118,21 @@ def compress_fragments(frags: np.ndarray, lengths: np.ndarray):
     return out, out_len
 
 
+def check_body_lens(bodies_width: int, body_lens: np.ndarray) -> None:
+    """Hard-fail if any emitted body length exceeds its output slot.
+
+    The emission bound (constants.greedy_emit_bound) makes this
+    impossible for a correct kernel; the check turns a hypothetical
+    bound violation into a loud error instead of a silently truncated
+    stream at the ``bodies[i, :body_lens[i]]`` assembly slices."""
+    worst = int(np.max(body_lens)) if len(body_lens) else 0
+    if worst > bodies_width:
+        raise RuntimeError(
+            f"encoder emitted {worst} bytes into a {bodies_width}-byte "
+            "slot — emission bound violated (kernel bug)"
+        )
+
+
 def decompress_blocks(comp: np.ndarray, comp_lens: np.ndarray, out_cap: int):
     """Decode a batch of full blocks (varint preamble + tags) on device.
 
@@ -164,6 +183,7 @@ def compress(data, engine: str = "auto") -> bytes:
     bodies, body_lens = compress_fragments(frags, lengths)
     bodies = np.asarray(bodies, dtype=np.int32)
     body_lens = np.asarray(body_lens)
+    check_body_lens(bodies.shape[1], body_lens)
     out = bytearray(write_varint(n))
     for i in range(nfrags):
         out += bodies[i, : int(body_lens[i])].astype(np.uint8).tobytes()
@@ -185,7 +205,7 @@ def decompress(data, engine: str = "auto") -> bytes:
         return oracle.decompress(_as_u8(data))
     arr = _as_u8(data)
     expected, _ = read_varint(arr)  # validates the preamble host-side
-    if expected > 32 * len(arr) + 64:
+    if expected > plausible_uncompressed_bound(len(arr)):
         raise InvalidDataError("length preamble exceeds possible expansion")
     cap = _bucket(len(arr) + 8)
     buf = np.zeros((1, cap), np.int32)

@@ -43,10 +43,16 @@ from snappier_tpu.format.crc32c import crc32c, mask_crc, unmask_crc
 from snappier_tpu.format.framing import write_chunk_header
 from snappier_tpu.format.varint import read_varint, write_varint
 from snappier_tpu.runtime import block as block_rt
+from snappier_tpu.utils.pool import default_pool
 
-#: Static compressed-capacity for one framed chunk's block payload
-#: (varint + body <= 3 + 65536 + margin).
-CHUNK_COMP_CAP = BLOCK_SIZE + 1024
+#: Static compressed-capacity of the *device batch slot* for one framed
+#: chunk's block payload (varint + greedy body <= 3 + 66552). The
+#: framing format itself allows compressed payloads up to 16 MiB - 1
+#: (3-byte chunk length) as long as the uncompressed size is <= 64 KiB;
+#: payloads too large for the device slot are routed through the host
+#: block decoder instead of being rejected
+#: (SnappyStreamDecompressor.cs imposes no compressed-size cap).
+CHUNK_COMP_CAP = BLOCK_SIZE + 2048
 
 #: Reference's default transfer buffer (SnappyStream.cs:16).
 DEFAULT_TRANSFER_SIZE = 8192
@@ -54,6 +60,12 @@ DEFAULT_TRANSFER_SIZE = 8192
 
 def _pow2_batch(b: int) -> int:
     return 1 << max(0, (max(b, 1) - 1)).bit_length()
+
+
+def _native_available() -> bool:
+    from snappier_tpu.runtime import native
+
+    return native.available()
 
 
 def _host_crc_fn():
@@ -109,15 +121,17 @@ def _compress_chunks_batched(
             out.append(_frame_data_chunk(c, eng.compress(c), checksum))
         return out
     bsz = _pow2_batch(len(chunks))
-    frags = np.zeros((bsz, BLOCK_SIZE), np.int32)
+    frags = default_pool.rent((bsz, BLOCK_SIZE), np.int32)
     lengths = np.zeros(bsz, np.int32)
     for i, c in enumerate(chunks):
         a = np.frombuffer(c, np.uint8)
         frags[i, : len(a)] = a
         lengths[i] = len(a)
     bodies, body_lens = block_rt.compress_fragments(frags, lengths)
+    default_pool.giveback(frags)
     bodies = np.asarray(bodies)
     body_lens = np.asarray(body_lens)
+    block_rt.check_body_lens(bodies.shape[1], body_lens)
     out = []
     crc_fn = _host_crc_fn()
     for i, c in enumerate(chunks):
@@ -152,30 +166,40 @@ def _decompress_chunks_batched(
                 raise InvalidDataError("chunk exceeds 64 KiB uncompressed cap")
             out.append(eng.decompress(p))
         return out
-    for p in payloads:
+    # Spec-legal payloads can be up to 16 MiB compressed as long as the
+    # uncompressed size fits the 64 KiB chunk cap; anything too big for
+    # the fixed device slot decodes through the host block engine.
+    oversize: dict[int, bytes] = {}
+    for i, p in enumerate(payloads):
         expected, _ = read_varint(p)
         if expected > MAX_CHUNK_UNCOMPRESSED:
             raise InvalidDataError("chunk exceeds 64 KiB uncompressed cap")
         if len(p) > CHUNK_COMP_CAP - 8:
-            raise InvalidDataError("compressed chunk payload too large")
-    bsz = _pow2_batch(len(payloads))
-    comp = np.zeros((bsz, CHUNK_COMP_CAP), np.int32)
-    comp_lens = np.zeros(bsz, np.int32)
-    comp[:, 0] = 0  # varint(0): valid empty block for padding rows
-    for i, p in enumerate(payloads):
-        a = np.frombuffer(p, np.uint8)
-        comp[i, : len(a)] = a
-        comp_lens[i] = len(a)
-    outs, out_lens, errs = block_rt.decompress_blocks(
-        comp, comp_lens, out_cap=BLOCK_SIZE
-    )
-    outs = np.asarray(outs)
-    out_lens = np.asarray(out_lens)
-    errs = np.asarray(errs)
-    result = []
-    for i in range(len(payloads)):
-        block_rt._raise_for_err(int(errs[i]))
-        result.append(outs[i, : int(out_lens[i])].astype(np.uint8).tobytes())
+            oversize[i] = block_rt.decompress(
+                p, engine="native" if _native_available() else "oracle"
+            )
+    device_idx = [i for i in range(len(payloads)) if i not in oversize]
+    result: list[bytes] = [b""] * len(payloads)
+    for i, body in oversize.items():
+        result[i] = body
+    if device_idx:
+        bsz = _pow2_batch(len(device_idx))
+        comp = default_pool.rent((bsz, CHUNK_COMP_CAP), np.int32)
+        comp_lens = np.zeros(bsz, np.int32)
+        for j, i in enumerate(device_idx):
+            a = np.frombuffer(payloads[i], np.uint8)
+            comp[j, : len(a)] = a
+            comp_lens[j] = len(a)
+        outs, out_lens, errs = block_rt.decompress_blocks(
+            comp, comp_lens, out_cap=BLOCK_SIZE
+        )
+        default_pool.giveback(comp)
+        outs = np.asarray(outs)
+        out_lens = np.asarray(out_lens)
+        errs = np.asarray(errs)
+        for j, i in enumerate(device_idx):
+            block_rt._raise_for_err(int(errs[j]))
+            result[i] = outs[j, : int(out_lens[j])].astype(np.uint8).tobytes()
     return result
 
 
@@ -269,11 +293,11 @@ class StreamDecompressor:
             plen = int.from_bytes(buf[pos + 1 : pos + 4], "little")
             if ctype == CHUNK_STREAM_IDENTIFIER and plen != 6:
                 raise InvalidDataError("bad stream identifier length")
-            if (
-                ctype in (CHUNK_COMPRESSED_DATA, CHUNK_UNCOMPRESSED_DATA)
-                and plen > CHUNK_COMP_CAP
-            ):
-                raise InvalidDataError("data chunk payload too large")
+            # No compressed-size cap here: the 3-byte chunk length field
+            # bounds plen at 16 MiB - 1 and the format only caps the
+            # *uncompressed* size (checked after the varint preamble is
+            # read) — parity with SnappyStreamDecompressor, which
+            # accepts any spec-legal payload size.
             if pos + 4 + plen > len(buf):
                 break
             payload = bytes(buf[pos + 4 : pos + 4 + plen])

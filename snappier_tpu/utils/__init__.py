@@ -1,8 +1,9 @@
-"""Utility layer: bit helpers and buffer pooling."""
+"""Utility layer: buffer pooling and profiling.
 
-from snappier_tpu.utils.helpers import (  # noqa: F401
-    find_lsb_set_nonzero,
-    left_shift_overflows,
-    log2_floor,
-)
-from snappier_tpu.utils.pool import BufferPool  # noqa: F401
+The reference's bit/byte helpers (``Helpers.cs:66-231``) have no
+standalone analog here: Python ints make them one-liners and the
+device kernels express the same operations as inline jnp arithmetic;
+the size-bound helpers live in :mod:`snappier_tpu.constants`.
+"""
+
+from snappier_tpu.utils.pool import BufferPool, default_pool  # noqa: F401

@@ -61,3 +61,34 @@ def test_numpy_input():
     arr = np.arange(256, dtype=np.uint8).repeat(4)
     comp = st.compress(arr)
     assert st.decompress(comp) == arr.tobytes()
+
+
+def test_adversarial_expansion_roundtrips():
+    """Regression: expanding input (alternating literal runs with
+    extra length bytes and tiny matches) must not overflow the device
+    output slot and silently truncate (round-1 advisor finding: the
+    old BLOCK_SIZE+128 cap was exceedable by ~118 bytes)."""
+    from snappier_tpu.constants import BLOCK_SIZE, greedy_emit_bound
+    from snappier_tpu.runtime.block import compress_fragments
+
+    rng = np.random.default_rng(301)
+    marker = b"\xf0\xf1\xf2\xf3\xf4"  # 5-byte match: copy-2 at any offset
+    parts = [marker]
+    n = len(marker)
+    while n < BLOCK_SIZE:
+        run = rng.integers(0, 256, 257, dtype=np.uint8).tobytes()
+        parts += [run, marker]
+        n += len(run) + len(marker)
+    data = b"".join(parts)[:BLOCK_SIZE]
+
+    frags = np.frombuffer(data, np.uint8).reshape(1, -1).astype(np.int32)
+    bodies, body_lens = compress_fragments(
+        frags, np.array([BLOCK_SIZE], np.int32)
+    )
+    blen = int(np.asarray(body_lens)[0])
+    assert blen <= greedy_emit_bound(BLOCK_SIZE)
+    assert blen <= np.asarray(bodies).shape[1]
+
+    comp = st.compress(data, engine="tpu")
+    assert st.decompress(comp, engine="oracle") == data
+    assert oracle.decompress(comp) == data

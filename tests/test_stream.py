@@ -178,3 +178,27 @@ def test_async_stream_adapters():
         return bytes(out)
 
     assert asyncio.run(roundtrip()) == data
+
+
+def test_oversized_compressed_payload_is_spec_legal():
+    """The framing format caps only the *uncompressed* chunk size at
+    64 KiB; a compressed payload larger than that (e.g. one literal
+    tag per byte) is valid and must decode (round-1 advisor finding:
+    an artificial compressed-size cap rejected such streams)."""
+    from snappier_tpu.constants import CHUNK_COMPRESSED_DATA
+    from snappier_tpu.format.crc32c import crc32c, mask_crc
+    from snappier_tpu.format.varint import write_varint
+
+    rng = np.random.default_rng(7)
+    chunk = rng.integers(0, 256, 65536, dtype=np.uint8).tobytes()
+    # Worst-case valid encoding: every byte its own 1-byte literal.
+    body = bytearray(write_varint(len(chunk)))
+    for b in chunk:
+        body += bytes([0x00, b])
+    payload = mask_crc(crc32c(chunk)).to_bytes(4, "little") + bytes(body)
+    framed = (
+        STREAM_HEADER
+        + framing.write_chunk_header(CHUNK_COMPRESSED_DATA, len(payload))
+        + payload
+    )
+    assert st.stream_decompress(framed) == chunk
