@@ -319,6 +319,148 @@ int stpu_decompress(const uint8_t* input, size_t n, uint8_t* out,
   return STPU_OK;
 }
 
+// Tag-boundary prescan: split a block-format tag stream into fragments
+// at exact 64 KiB *output* boundaries so a device batch can decode the
+// fragments independently (SnappyDecompressor.cs:43-184 handles any
+// size serially; the TPU path needs block-granular work items —
+// SURVEY.md §7.2 L3). Walking tag *headers* only (literal payloads are
+// skipped) runs at GB/s.
+//
+// Literal tags are freely splittable (their bytes carry no
+// dependencies), so a straddling literal is recorded as a synthetic
+// tail slice for the current fragment plus a lead slice for the next.
+// Copies are not splittable and may legally (per the wire format)
+// reach across a fragment's output start; every known encoder —
+// including the reference and google/snappy — resets its window per
+// 64 KiB fragment and never emits such a copy, but if one appears the
+// scan reports STPU_WINDOW_CROSS and the caller falls back to the
+// serial host decoder.
+//
+// Record layout per fragment (7 x int64):
+//   [0] tags_begin   comp offset of first complete tag
+//   [1] tags_end     comp offset past last complete tag
+//   [2] lead_src     comp offset of leading literal payload slice
+//   [3] lead_len     bytes of leading synthetic literal (0 = none)
+//   [4] tail_src     comp offset of trailing literal payload slice
+//   [5] tail_len     bytes of trailing synthetic literal (0 = none)
+//   [6] out_len      uncompressed bytes produced by this fragment
+enum { STPU_WINDOW_CROSS = 3 };
+
+int stpu_scan_fragments(const uint8_t* input, size_t n, int64_t* recs,
+                        size_t max_frags, size_t* n_frags) {
+  uint64_t expected64 = 0;
+  if (stpu_uncompressed_length(input, n, &expected64) != STPU_OK)
+    return STPU_INVALID_DATA;
+  size_t expected = static_cast<size_t>(expected64);
+  size_t ip = 0;
+  while (input[ip] & 0x80) ++ip;
+  ++ip;
+
+  size_t nf = 0;
+  size_t op = 0, frag_start = 0;
+  size_t tags_begin = ip, lead_src = 0, lead_len = 0;
+  auto close_frag = [&](size_t tags_end, size_t tail_src, size_t tail_len,
+                        size_t out_len) -> bool {
+    if (nf >= max_frags) return false;
+    int64_t* r = recs + nf * 7;
+    r[0] = static_cast<int64_t>(tags_begin);
+    r[1] = static_cast<int64_t>(tags_end);
+    r[2] = static_cast<int64_t>(lead_src);
+    r[3] = static_cast<int64_t>(lead_len);
+    r[4] = static_cast<int64_t>(tail_src);
+    r[5] = static_cast<int64_t>(tail_len);
+    r[6] = static_cast<int64_t>(out_len);
+    ++nf;
+    return true;
+  };
+
+  while (ip < n) {
+    size_t frag_end = frag_start + kBlockSize;
+    const uint8_t tag = input[ip];
+    const uint32_t type = tag & 3;
+    if (type == 0) {  // literal
+      size_t hdr = 1, len;
+      uint32_t len6 = tag >> 2;
+      if (len6 < 60) {
+        len = len6 + 1;
+      } else {
+        size_t extra = len6 - 59;
+        if (ip + 1 + extra > n) return STPU_INVALID_DATA;
+        uint64_t l = 0;
+        for (size_t k = 0; k < extra; ++k)
+          l |= static_cast<uint64_t>(input[ip + 1 + k]) << (8 * k);
+        len = static_cast<size_t>(l) + 1;
+        hdr += extra;
+      }
+      if (ip + hdr + len > n) return STPU_INVALID_DATA;
+      if (op + len > expected) return STPU_INVALID_DATA;
+      if (op + len <= frag_end) {
+        op += len;
+        ip += hdr + len;
+      } else {  // straddles: split the literal at output lines
+        size_t take = frag_end - op;
+        if (!close_frag(tags_begin, ip + hdr, take, kBlockSize))
+          return STPU_INVALID_DATA;
+        size_t src = ip + hdr + take, rem = len - take;
+        while (rem >= kBlockSize) {
+          lead_src = src;
+          lead_len = kBlockSize;
+          tags_begin = ip + hdr + len;  // empty tag range
+          if (!close_frag(tags_begin, 0, 0, kBlockSize))
+            return STPU_INVALID_DATA;
+          src += kBlockSize;
+          rem -= kBlockSize;
+          frag_start += kBlockSize;
+        }
+        lead_src = src;
+        lead_len = rem;
+        tags_begin = ip + hdr + len;
+        frag_start += kBlockSize;
+        op += len;
+        ip += hdr + len;
+        continue;
+      }
+    } else {  // copy
+      size_t hdr, len, offset;
+      if (type == 1) {
+        if (ip + 2 > n) return STPU_INVALID_DATA;
+        len = ((tag >> 2) & 7) + 4;
+        offset = (static_cast<size_t>(tag >> 5) << 8) | input[ip + 1];
+        hdr = 2;
+      } else if (type == 2) {
+        if (ip + 3 > n) return STPU_INVALID_DATA;
+        len = (tag >> 2) + 1;
+        offset = input[ip + 1] | (static_cast<size_t>(input[ip + 2]) << 8);
+        hdr = 3;
+      } else {
+        if (ip + 5 > n) return STPU_INVALID_DATA;
+        len = (tag >> 2) + 1;
+        offset = static_cast<size_t>(load32(input + ip + 1));
+        hdr = 5;
+      }
+      if (offset == 0 || offset > op) return STPU_INVALID_DATA;
+      if (op + len > expected) return STPU_INVALID_DATA;
+      if (op + len > frag_end) return STPU_WINDOW_CROSS;   // copy on the line
+      if (offset > op - frag_start) return STPU_WINDOW_CROSS;  // cross reach
+      op += len;
+      ip += hdr;
+    }
+    if (op == frag_start + kBlockSize && ip < n) {
+      if (!close_frag(ip, 0, 0, kBlockSize)) return STPU_INVALID_DATA;
+      tags_begin = ip;
+      lead_src = 0;
+      lead_len = 0;
+      frag_start = op;
+    }
+  }
+  if (op != expected) return STPU_INVALID_DATA;
+  if (op > frag_start || lead_len > 0 || tags_begin < ip || nf == 0) {
+    if (!close_frag(ip, 0, 0, op - frag_start)) return STPU_INVALID_DATA;
+  }
+  *n_frags = nf;
+  return STPU_OK;
+}
+
 uint32_t stpu_crc32c(const uint8_t* data, size_t n, uint32_t crc) {
   if (!crc_init_done) crc_init();
   uint32_t c = crc ^ 0xffffffffu;

@@ -207,16 +207,53 @@ def decompress(data, engine: str = "auto") -> bytes:
     expected, _ = read_varint(arr)  # validates the preamble host-side
     if expected > plausible_uncompressed_bound(len(arr)):
         raise InvalidDataError("length preamble exceeds possible expansion")
+    if expected > BLOCK_SIZE:
+        return _decompress_multiblock(arr)
     cap = _bucket(len(arr) + 8)
     buf = np.zeros((1, cap), np.int32)
     buf[0, : len(arr)] = arr
-    out_cap = _bucket(expected)
+    out_cap = _bucket(max(expected, 1))
     outs, out_lens, errs = decompress_blocks(
         buf, np.array([len(arr)], np.int32), out_cap
     )
     _raise_for_err(int(np.asarray(errs)[0]))
     out_len = int(np.asarray(out_lens)[0])
     return np.asarray(outs)[0, :out_len].astype(np.uint8).tobytes()
+
+
+def _decompress_multiblock(arr: np.ndarray) -> bytes:
+    """Device decode for inputs larger than one 64 KiB fragment
+    (BASELINE config 2): the prescan splits the tag stream at exact
+    64 KiB output boundaries and the fragments decode as one batch.
+    Window-crossing streams (legal per the wire format, emitted by no
+    known encoder) fall back to the serial host decoder, exactly as
+    the reference decodes them with its whole-output lookback buffer
+    (SnappyDecompressor.cs:43-184)."""
+    from snappier_tpu.runtime import prescan
+
+    recs = prescan.scan_fragments(arr)
+    if recs is None:
+        from snappier_tpu.runtime import native
+
+        if native.available():
+            return native.decompress(arr.tobytes())
+        from snappier_tpu.format import oracle
+
+        return oracle.decompress(arr)
+    comp, comp_lens, out_lens_exp = prescan.assemble_fragment_rows(arr, recs)
+    outs, out_lens, errs = decompress_blocks(
+        comp, comp_lens, out_cap=BLOCK_SIZE
+    )
+    outs = np.asarray(outs)
+    out_lens = np.asarray(out_lens)
+    for i, e in enumerate(np.asarray(errs)):
+        _raise_for_err(int(e))
+        if int(out_lens[i]) != int(out_lens_exp[i]):
+            raise InvalidDataError("fragment output length mismatch")
+    return b"".join(
+        outs[i, : int(out_lens[i])].astype(np.uint8).tobytes()
+        for i in range(len(out_lens))
+    )
 
 
 def get_uncompressed_length(data) -> int:

@@ -87,6 +87,15 @@ def load():
             ctypes.c_size_t,
             ctypes.c_uint32,
         ]
+        if hasattr(lib, "stpu_scan_fragments"):
+            lib.stpu_scan_fragments.restype = ctypes.c_int
+            lib.stpu_scan_fragments.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_size_t),
+            ]
         _lib = lib
         return _lib
 
@@ -133,6 +142,39 @@ def decompress(data: bytes) -> bytes:
     if rc == _TOO_SMALL:
         raise BufferTooSmallError("output buffer too small")
     return ctypes.string_at(out, out_len.value)
+
+
+def scan_fragments(data: bytes):
+    """Fragment-split prescan (``stpu_scan_fragments``): walk the tag
+    headers of a block stream and split it at exact 64 KiB output
+    boundaries. Returns an int64 array [nf, 7] of fragment records
+    (see snappy_core.cpp for the layout), or None when the stream
+    contains a window-crossing copy (host-serial decode required).
+    Raises InvalidDataError on malformed streams."""
+    import numpy as np
+
+    lib = load()
+    if lib is None or not hasattr(lib, "stpu_scan_fragments"):
+        raise RuntimeError("native runtime unavailable")
+    data = bytes(data)
+    val = ctypes.c_uint64()
+    if lib.stpu_uncompressed_length(data, len(data), ctypes.byref(val)) != _OK:
+        raise InvalidDataError("bad length preamble")
+    max_frags = val.value // 65536 + 3
+    recs = np.zeros((max_frags, 7), np.int64)
+    nf = ctypes.c_size_t()
+    rc = lib.stpu_scan_fragments(
+        data,
+        len(data),
+        recs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        max_frags,
+        ctypes.byref(nf),
+    )
+    if rc == 3:  # STPU_WINDOW_CROSS
+        return None
+    if rc != _OK:
+        raise InvalidDataError("malformed snappy block data")
+    return recs[: nf.value]
 
 
 def crc32c(data: bytes, crc: int = 0) -> int:
