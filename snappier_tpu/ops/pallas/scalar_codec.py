@@ -13,9 +13,11 @@ split between tag bookkeeping and bulk copies
 TPU's scalar+DMA machinery.
 
 Layout: one grid program per block; the compressed row is DMA'd
-HBM->SMEM (byte-per-int32 image for copies plus a word-packed image
-for the latency-bound tag walk), decoded scalar-sequentially into an
-SMEM output image, and DMA'd back out. Measured findings that shaped
+HBM->SMEM as a word-packed image (4 bytes per int32 — the tag walk is
+latency-bound on dependent SMEM loads, and copies stream through
+funnel shifts at ~4 bytes per load/store pair), decoded
+scalar-sequentially into a word-packed SMEM output image, and DMA'd
+back out. Measured findings that shaped
 the kernels are recorded in docs/ARCHITECTURE.md and docs/ROADMAP.md
 (including the negative results: conditional probes serialize; the
 decode walk is serial-dependency-bound).
@@ -80,36 +82,39 @@ def _tag_lut():
     return lut
 
 
-def _decode_kernel(comp_ref, words_ref, lut_ref, lens_ref, out_ref,
-                   outlen_ref, err_ref, comp_smem, words_smem, out_smem,
-                   sem_in, sem_w, sem_out):
+def _decode_kernel(words_ref, lut_ref, lens_ref, out_ref,
+                   outlen_ref, err_ref, words_smem, ow_smem,
+                   sem_in, sem_out, *, cc):
+    """Word-packed decode walk (round-2 ablation winner, +30%).
+
+    Both images are 4 bytes per int32: the compressed stream and the
+    output. Copies and literals stream through funnel shifts — 1 load +
+    1 store + ~4 ALU ops per 4 bytes instead of ~2 SMEM byte-ops per
+    byte (SMEM byte ops measured ~3 cycles each; copies were ~2/3 of
+    per-tag cost in the byte-image kernel). The partial frontier word
+    is always stored with a garbage tail (bytes >= the frontier are
+    never read and are overwritten by the next tag), so there is no
+    carry register and copy sources can always read the packed image.
+    """
     b = pl.program_id(0)
-    cc = comp_smem.shape[0]
     wc = words_smem.shape[0]
-    ocp = out_smem.shape[0]  # padded: logical capacity + 1024 slack
-    oc = ocp - 1024
+    owc = ow_smem.shape[0]
+    oc = owc * 4 - 1024  # logical output capacity in bytes
     n = lens_ref[b]
 
-    # comp/out ride flat in HBM; rows are CC/OCP-aligned (multiples of
-    # 1024) so dynamic 1-D slices stay tile-aligned for the DMA engine.
-    # The output image carries 1 KiB of slack for the sloppy
-    # overshooting copies; the caller guarantees n <= CC - 8 so sloppy
-    # literal overreads stay inside the compressed image. The walk is
-    # latency-bound on dependent SMEM loads, so tag windows are read
-    # from a word-packed image (2 loads) instead of 5 byte loads.
+    # Images ride flat in HBM; rows are aligned to 1024 words so
+    # dynamic 1-D slices stay tile-aligned for the DMA engine.
     cp_in = pltpu.make_async_copy(
-        comp_ref.at[pl.ds(b * cc, cc)], comp_smem, sem_in
+        words_ref.at[pl.ds(b * wc, wc)], words_smem, sem_in
     )
     cp_in.start()
-    cp_w = pltpu.make_async_copy(
-        words_ref.at[pl.ds(b * wc, wc)], words_smem, sem_w
-    )
-    cp_w.start()
     cp_in.wait()
-    cp_w.wait()
 
     def rd(i):
-        return comp_smem[jnp.clip(i, 0, cc - 1)]
+        ii = jnp.clip(i, 0, cc - 1)
+        return jax.lax.shift_right_logical(
+            words_smem[ii >> 2], (ii & 3) * 8
+        ) & 0xFF
 
     def window5(i):
         """Bytes [i, i+5) as (v32, b4): one unaligned 32-bit window plus
@@ -144,10 +149,75 @@ def _decode_kernel(comp_ref, words_ref, lut_ref, lens_ref, out_ref,
     err = jnp.where(expected > oc, ERR_BAD_PREAMBLE, err)
     err = jnp.where(expected < 0, ERR_BAD_PREAMBLE, err)
 
+    # --- copy machinery ----------------------------------------------------
+    def funnel(lo, hi, a8, hs, hm):
+        return jax.lax.shift_right_logical(lo, a8) | ((hi << hs) & hm)
+
+    def append_stream(S, spos, op, K):
+        """Append K bytes read from packed image S at byte spos to the
+        output frontier op. Requires spos + t < frontier bytes already
+        valid in their image (always true for literals; for copies,
+        off >= 8 keeps the stream reads behind the written words).
+        Over-stores whole words past the frontier (bytes >= op + K are
+        garbage until a later tag overwrites them — never read)."""
+        rel = spos - op
+        a8 = (rel & 3) * 8
+        rw = rel >> 2  # arithmetic shift: floor for negative rel
+        hs = (32 - a8) & 31
+        hm = jnp.where(a8 == 0, 0, jnp.int32(-1))
+        w0 = op >> 2
+        da8 = (op & 3) * 8
+        lowmask = (1 << da8) - 1
+        smax = jnp.int32(S.shape[0] - 1)
+
+        def sw(i):
+            return S[jnp.clip(i, 0, smax)]
+
+        base = w0 + rw
+        prev = sw(base)
+        nxt = sw(base + 1)
+        sv = funnel(prev, nxt, a8, hs, hm)
+        ow_smem[w0] = (ow_smem[w0] & lowmask) | (sv & ~lowmask)
+        nw = ((op + K - 1) >> 2) - w0  # full/partial words after w0
+
+        @pl.when(nw > 0)
+        def _():
+            # Unrolled pair covers nw <= 2 (the common case) branch-
+            # free; the second store may be pure over-store.
+            n2 = sw(base + 2)
+            ow_smem[w0 + 1] = funnel(nxt, n2, a8, hs, hm)
+            n3 = sw(base + 3)
+            ow_smem[w0 + 2] = funnel(n2, n3, a8, hs, hm)
+
+            @pl.when(nw > 2)
+            def _():
+                def cp(k, carry):
+                    w = w0 + 3 + 2 * k
+                    m1 = sw(w + rw + 1)
+                    ow_smem[w] = funnel(carry, m1, a8, hs, hm)
+                    m2 = sw(w + rw + 2)
+                    ow_smem[w + 1] = funnel(m1, m2, a8, hs, hm)
+                    return m2
+
+                jax.lax.fori_loop(0, (nw - 1) >> 1, cp, n3, unroll=False)
+
+    def append_bytes(spos, op, K):
+        """Byte-serial append via read-modify-write (off < 8 prefix)."""
+
+        def cpb(k, _):
+            q = op + k
+            s = spos + k
+            byte = jax.lax.shift_right_logical(
+                ow_smem[s >> 2], (s & 3) * 8
+            ) & 0xFF
+            sh = (q & 3) * 8
+            w = q >> 2
+            ow_smem[w] = (ow_smem[w] & ~(0xFF << sh)) | (byte << sh)
+            return 0
+
+        jax.lax.fori_loop(0, K, cpb, 0, unroll=False)
+
     # --- tag walk --------------------------------------------------------
-    # Ablation-measured: the walk (not the copies) is ~99% of decode
-    # time, so each tag type gets its own branch computing only its own
-    # fields rather than a branchless all-paths select tree.
     def tag_cond(state):
         ip, op, err = state
         return (ip < n) & (err == 0)
@@ -191,38 +261,29 @@ def _decode_kernel(comp_ref, words_ref, lut_ref, lens_ref, out_ref,
             (op + length > expected) | (length < 0), ERR_LENGTH_MISMATCH, e
         )
         ok = e == 0
-        src = jnp.where(is_lit, ip + hdr, op - off)
-        chunks = (length + _UNROLL - 1) // _UNROLL
-
-        def copy_lit(k, _):
-            base = op + k * _UNROLL
-            sb = src + k * _UNROLL
-            for u in range(_UNROLL):
-                out_smem[base + u] = comp_smem[sb + u]
-            return 0
-
-        def copy_back(k, _):
-            base = op + k * _UNROLL
-            sb = src + k * _UNROLL
-            for u in range(_UNROLL):
-                out_smem[base + u] = out_smem[sb + u]
-            return 0
-
-        def copy_back_byte(k, _):
-            out_smem[op + k] = out_smem[src + k]
-            return 0
 
         @pl.when(ok & is_lit)
         def _():
-            jax.lax.fori_loop(0, chunks, copy_lit, 0, unroll=False)
+            append_stream(words_smem, ip + hdr, op, length)
 
-        @pl.when(ok & ~is_lit & (off >= _UNROLL))
+        @pl.when(ok & ~is_lit & (off >= 8))
         def _():
-            jax.lax.fori_loop(0, chunks, copy_back, 0, unroll=False)
+            append_stream(ow_smem, op - off, op, length)
 
-        @pl.when(ok & ~is_lit & (off < _UNROLL))
+        @pl.when(ok & ~is_lit & (off < 8))
         def _():
-            jax.lax.fori_loop(0, length, copy_back_byte, 0, unroll=False)
+            # Pattern expansion (CopyHelpers.IncrementalCopy analog):
+            # byte-serial first min(K, 14), after which a multiple of
+            # the period >= 8 exists and the funnel path finishes.
+            head = jnp.minimum(length, 14)
+            append_bytes(op - off, op, head)
+
+            @pl.when(length > 14)
+            def _():
+                off2 = off * (14 // jnp.maximum(off, 1))
+                append_stream(
+                    ow_smem, op + 14 - off2, op + 14, length - 14
+                )
 
         return ip + advance, op + jnp.where(ok, length, 0), e
 
@@ -235,7 +296,7 @@ def _decode_kernel(comp_ref, words_ref, lut_ref, lens_ref, out_ref,
     err_ref[b] = err
 
     cp_out = pltpu.make_async_copy(
-        out_smem, out_ref.at[pl.ds(b * ocp, ocp)], sem_out
+        ow_smem, out_ref.at[pl.ds(b * owc, owc)], sem_out
     )
     cp_out.start()
     cp_out.wait()
@@ -267,9 +328,10 @@ def decode_blocks_scalar(
     comp = comp.astype(jnp.int32)
     B, CC = comp.shape
     assert CC % 1024 == 0 and out_cap % 1024 == 0  # 1-D DMA tiling
-    ocp = out_cap + 1024  # sloppy-copy slack
-    # Word-packed image of the compressed bytes for the tag walk; its
-    # rows are padded independently to the 1024-word DMA tiling.
+    # Word-packed image of the compressed bytes (4 bytes per int32);
+    # rows are padded independently to the 1024-word DMA tiling. The
+    # byte image is not shipped at all — the kernel reads bytes out of
+    # the packed words, halving the input DMA.
     words = (
         comp.reshape(B, CC // 4, 4)
         * jnp.array([1, 1 << 8, 1 << 16, 1 << 24], jnp.int32)
@@ -278,16 +340,17 @@ def decode_blocks_scalar(
     words = jnp.concatenate(
         [words, jnp.zeros((B, wc - CC // 4), jnp.int32)], axis=1
     )
-    out_flat, out_lens, errs = pl.pallas_call(
-        _decode_kernel,
+    owc = -(-(out_cap + 1024) // 4 // 1024) * 1024  # words, DMA-tiled
+    kern = functools.partial(_decode_kernel, cc=CC)
+    ow_flat, out_lens, errs = pl.pallas_call(
+        kern,
         grid=(B,),
         out_shape=(
-            jax.ShapeDtypeStruct((B * ocp,), jnp.int32),
+            jax.ShapeDtypeStruct((B * owc,), jnp.int32),
             jax.ShapeDtypeStruct((B,), jnp.int32),
             jax.ShapeDtypeStruct((B,), jnp.int32),
         ),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -298,22 +361,26 @@ def decode_blocks_scalar(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
-            pltpu.SMEM((CC,), jnp.int32),
             pltpu.SMEM((wc,), jnp.int32),
-            pltpu.SMEM((ocp,), jnp.int32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SMEM((owc,), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(
-        comp.reshape(-1),
         words.reshape(-1),
         jnp.asarray(_tag_lut()),
         comp_lens.astype(jnp.int32),
     )
-    return out_flat.reshape(B, ocp)[:, :out_cap], out_lens, errs
+    ow = ow_flat.reshape(B, owc)
+    # Unpack words back to the byte-per-int32 API contract (cheap XLA
+    # elementwise; stays on device).
+    sh = jnp.arange(4, dtype=jnp.int32) * 8
+    by = (
+        jax.lax.shift_right_logical(ow[:, :, None], sh[None, None, :]) & 0xFF
+    ).reshape(B, owc * 4)
+    return by[:, :out_cap], out_lens, errs
 
 
 # ---------------------------------------------------------------------------
