@@ -65,7 +65,7 @@ def _sharded_compress_fn(mesh: Mesh, kernel: str):
     batch = _specs(mesh)
 
     if kernel == "scalar":
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         from snappier_tpu.ops.pallas.scalar_codec import encode_blocks_scalar
 
@@ -76,7 +76,7 @@ def _sharded_compress_fn(mesh: Mesh, kernel: str):
             mesh=mesh,
             in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS)),
             out_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS)),
-            check_rep=False,  # pallas_call outputs carry no replication info
+            check_vma=False,  # pallas_call outputs carry no replication info
         )
     else:
         def encode(frags, lengths):
@@ -104,7 +104,7 @@ def _sharded_decompress_fn(mesh: Mesh, out_cap: int, kernel: str):
     batch = _specs(mesh)
 
     if kernel == "scalar":
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         from snappier_tpu.ops.pallas.scalar_codec import decode_blocks_scalar
 
@@ -113,7 +113,7 @@ def _sharded_decompress_fn(mesh: Mesh, out_cap: int, kernel: str):
             mesh=mesh,
             in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS)),
             out_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS)),
-            check_rep=False,  # pallas_call outputs carry no replication info
+            check_vma=False,  # pallas_call outputs carry no replication info
         )
     else:
         def decode(comp, comp_lens):
@@ -164,8 +164,39 @@ def sharded_decompress(
 
 
 @functools.cache
-def _sharded_roundtrip_fn(mesh: Mesh, frag_size: int):
+def _sharded_roundtrip_fn(mesh: Mesh, frag_size: int, kernel: str):
     batch = _specs(mesh)
+
+    if kernel == "scalar":
+        from jax import shard_map
+
+        from snappier_tpu.ops.pallas.scalar_codec import (
+            decode_blocks_scalar,
+            encode_blocks_scalar,
+        )
+
+        encode = shard_map(
+            lambda f, l: encode_blocks_scalar(f, l),
+            mesh=mesh,
+            in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS)),
+            out_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS)),
+            check_vma=False,
+        )
+        decode = shard_map(
+            lambda c, n: decode_blocks_scalar(c, n, out_cap=frag_size),
+            mesh=mesh,
+            in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS)),
+            out_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS)),
+            check_vma=False,
+        )
+    else:
+        def encode(frags, lengths):
+            return jax.vmap(encode_block)(frags, lengths)
+
+        def decode(comp, comp_lens):
+            return jax.vmap(
+                lambda c, n: decode_block(c, n, out_cap=frag_size)
+            )(comp, comp_lens)
 
     @functools.partial(
         jax.jit,
@@ -173,7 +204,7 @@ def _sharded_roundtrip_fn(mesh: Mesh, frag_size: int):
         out_shardings=(batch, batch, None, None),
     )
     def fn(frags, lengths):
-        bodies, body_lens = jax.vmap(encode_block)(frags, lengths)
+        bodies, body_lens = encode(frags, lengths)
         offsets = jnp.cumsum(body_lens) - body_lens
         # Re-wrap each body as a standalone block (preamble is supplied
         # by prepending varint on host normally; here synthesize a
@@ -188,9 +219,14 @@ def _sharded_roundtrip_fn(mesh: Mesh, frag_size: int):
             axis=1,
         )
         blocks = jnp.concatenate([pre, bodies], axis=1)
-        outs, out_lens, errs = jax.vmap(
-            lambda c, n: decode_block(c, n, out_cap=frag_size)
-        )(blocks, body_lens + 3)
+        # Pad the block width to the 1024-multiple DMA tiling the
+        # scalar kernels require (harmless for the scan kernels).
+        w = blocks.shape[1]
+        wpad = -(-w // 1024) * 1024
+        blocks = jnp.concatenate(
+            [blocks, jnp.zeros((B, wpad - w), jnp.int32)], axis=1
+        )
+        outs, out_lens, errs = decode(blocks, body_lens + 3)
         ok = jnp.all(
             jnp.where(
                 jax.lax.broadcasted_iota(jnp.int32, outs.shape, 1)
@@ -204,12 +240,18 @@ def _sharded_roundtrip_fn(mesh: Mesh, frag_size: int):
     return fn
 
 
-def sharded_roundtrip_step(frags, lengths, mesh: Mesh | None = None):
+def sharded_roundtrip_step(
+    frags, lengths, mesh: Mesh | None = None, kernel: str | None = None
+):
     """Full codec step — compress, ordered-assembly offsets, decompress,
     bit-exactness check — sharded over the mesh. This is the
-    "training-step" analog the multichip dry-run exercises."""
+    "training-step" analog the multichip dry-run exercises.
+
+    ``kernel``: 'scalar' runs the production Pallas kernels under
+    shard_map (interpret mode off-TPU); 'scan' (default) the portable
+    XLA kernels."""
     mesh = mesh or make_mesh()
     frags = jnp.asarray(frags, jnp.int32)
-    return _sharded_roundtrip_fn(mesh, frags.shape[1])(
-        frags, jnp.asarray(lengths, jnp.int32)
-    )
+    return _sharded_roundtrip_fn(
+        mesh, frags.shape[1], kernel or _default_kernel()
+    )(frags, jnp.asarray(lengths, jnp.int32))

@@ -297,6 +297,254 @@ def decode_v2(comp, comp_lens, out_cap: int = BLOCK_SIZE):
     return by[:, :out_cap], out_lens, errs
 
 
+def _decode_kernel_v4(words_ref, lut_ref, lens_ref, out_ref,
+                      outlen_ref, err_ref, words_smem, ow_smem,
+                      sem_in, sem_out, *, cc, owc):
+    """v2 with (a) the first copy pair stored unconditionally — safe
+    because bytes >= the frontier are garbage-until-overwritten by
+    construction, and a following tag's first-word RMW only preserves
+    bytes < its own frontier — and (b) error classification deferred
+    out of the loop (one re-parse of the failing tag)."""
+    b = pl.program_id(0)
+    wc = words_smem.shape[0]
+    n = lens_ref[b]
+    oc = owc * 4 - 1024
+
+    cp_in = pltpu.make_async_copy(
+        words_ref.at[pl.ds(b * wc, wc)], words_smem, sem_in
+    )
+    cp_in.start()
+    cp_in.wait()
+
+    def rd(i):
+        ii = jnp.clip(i, 0, cc - 1)
+        return jax.lax.shift_right_logical(
+            words_smem[ii >> 2], (ii & 3) * 8
+        ) & 0xFF
+
+    def window5(i):
+        wi = i >> 2
+        sh = (i & 3) * 8
+        w0 = words_smem[wi]
+        w1 = words_smem[jnp.minimum(wi + 1, wc - 1)]
+        lo = jax.lax.shift_right_logical(w0, sh)
+        v32 = jnp.where(sh == 0, w0, lo | (w1 << (32 - sh)))
+        b4 = jax.lax.shift_right_logical(w1, sh) & 0xFF
+        return v32, b4
+
+    def var_body(state):
+        i, val, done, err = state
+        byte = rd(i)
+        val = val | ((byte & 0x7F) << jnp.minimum(7 * i, 28))
+        done = byte < 0x80
+        err = jnp.where((i == 4) & (byte >= 8), 8, err)
+        return i + 1, val, done, err
+
+    def var_cond(state):
+        i, val, done, err = state
+        return (~done) & (i < 5) & (err == 0)
+
+    pre_len, expected, done, err = jax.lax.while_loop(
+        var_cond, var_body, (jnp.int32(0), jnp.int32(0), False, jnp.int32(0))
+    )
+    err = jnp.where(~done, 8, err)
+    err = jnp.where(pre_len > n, 8, err)
+    err = jnp.where(expected > oc, 8, err)
+    err = jnp.where(expected < 0, 8, err)
+
+    def funnel(lo, hi, a8, hs, hm):
+        return jax.lax.shift_right_logical(lo, a8) | ((hi << hs) & hm)
+
+    def append_stream(S, spos, op, K):
+        rel = spos - op
+        a8 = (rel & 3) * 8
+        rw = rel >> 2
+        hs = (32 - a8) & 31
+        hm = jnp.where(a8 == 0, 0, jnp.int32(-1))
+        w0 = op >> 2
+        da8 = (op & 3) * 8
+        lowmask = (1 << da8) - 1
+        smax = jnp.int32(S.shape[0] - 1)
+
+        def sw(i):
+            return S[jnp.clip(i, 0, smax)]
+
+        base = w0 + rw
+        prev = sw(base)
+        nxt = sw(base + 1)
+        sv = funnel(prev, nxt, a8, hs, hm)
+        ow_smem[w0] = (ow_smem[w0] & lowmask) | (sv & ~lowmask)
+        # Unconditional pair: pure over-store when the tag fits w0
+        # (bytes >= the frontier are dead until a later tag's writes).
+        n2 = sw(base + 2)
+        ow_smem[w0 + 1] = funnel(nxt, n2, a8, hs, hm)
+        n3 = sw(base + 3)
+        ow_smem[w0 + 2] = funnel(n2, n3, a8, hs, hm)
+        nw = ((op + K - 1) >> 2) - w0
+
+        @pl.when(nw > 2)
+        def _():
+            def cp(k, carry):
+                w = w0 + 3 + 2 * k
+                m1 = sw(w + rw + 1)
+                ow_smem[w] = funnel(carry, m1, a8, hs, hm)
+                m2 = sw(w + rw + 2)
+                ow_smem[w + 1] = funnel(m1, m2, a8, hs, hm)
+                return m2
+
+            jax.lax.fori_loop(0, (nw - 1) >> 1, cp, n3, unroll=False)
+
+    def append_bytes(spos, op, K):
+        def cpb(k, _):
+            q = op + k
+            s = spos + k
+            byte = jax.lax.shift_right_logical(
+                ow_smem[s >> 2], (s & 3) * 8
+            ) & 0xFF
+            sh = (q & 3) * 8
+            w = q >> 2
+            ow_smem[w] = (ow_smem[w] & ~(0xFF << sh)) | (byte << sh)
+            return 0
+
+        jax.lax.fori_loop(0, K, cpb, 0, unroll=False)
+
+    def parse(ip):
+        v32, b4 = window5(ip)
+        d = lut_ref[v32 & 0xFF]
+        hdr = d & 7
+        is_lit = (d & 8) != 0
+        L = (d >> 4) & 0x7F
+        extra = (d >> 11) & 7
+        rest = jax.lax.shift_right_logical(v32, 8)
+        mask = jax.lax.shift_right_logical(jnp.int32(-1), (4 - extra) * 8)
+        longlen = (rest & mask) + 1
+        longlen = jnp.where((extra == 4) & (b4 > 0), _POISON, longlen)
+        length = jnp.where(is_lit & (extra > 0), longlen, L)
+        ttype = d >> 25
+        off = jnp.where(
+            ttype == 1,
+            ((d >> 14) & 0x7FF) | (rest & 0xFF),
+            jnp.where(
+                ttype == 2, rest & 0xFFFF,
+                jnp.where(b4 > 0, _POISON, rest),
+            ),
+        )
+        advance = hdr + jnp.where(is_lit, length, 0)
+        return hdr, is_lit, length, off, advance
+
+    def tag_cond(state):
+        ip, op, bad = state
+        return (ip < n) & ~bad
+
+    def tag_body(state):
+        ip, op, bad = state
+        hdr, is_lit, length, off, advance = parse(ip)
+        ok = (
+            (ip + advance <= n)
+            & (is_lit | ((off > 0) & (off <= op)))
+            & (op + length <= expected)
+            & (length > 0)
+        )
+
+        @pl.when(ok & is_lit)
+        def _():
+            append_stream(words_smem, ip + hdr, op, length)
+
+        @pl.when(ok & ~is_lit & (off >= 8))
+        def _():
+            append_stream(ow_smem, op - off, op, length)
+
+        @pl.when(ok & ~is_lit & (off < 8))
+        def _():
+            head = jnp.minimum(length, 14)
+            append_bytes(op - off, op, head)
+
+            @pl.when(length > 14)
+            def _():
+                off2 = off * (14 // jnp.maximum(off, 1))
+                append_stream(ow_smem, op + 14 - off2, op + 14, length - 14)
+
+        return (
+            jnp.where(ok, ip + advance, ip),
+            op + jnp.where(ok, length, 0),
+            ~ok,
+        )
+
+    ip, op, bad = jax.lax.while_loop(
+        tag_cond, tag_body, (pre_len, jnp.int32(0), err != 0)
+    )
+    # Deferred classification: one re-parse of the failing tag.
+    hdr, is_lit, length, off, advance = parse(ip)
+    e = jnp.where(ip + advance > n, 1, 0)
+    e = jnp.where(~is_lit & ((off <= 0) | (off > op)), 2, e)
+    e = jnp.where((op + length > expected) | (length < 0), 4, e)
+    err = jnp.where(err != 0, err, jnp.where(bad, e, 0))
+    err = jnp.where((err == 0) & (op != expected), 4, err)
+
+    outlen_ref[b] = jnp.where(err == 0, expected, 0)
+    err_ref[b] = err
+
+    cp_out = pltpu.make_async_copy(
+        ow_smem, out_ref.at[pl.ds(b * owc, owc)], sem_out
+    )
+    cp_out.start()
+    cp_out.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("out_cap",))
+def decode_v4(comp, comp_lens, out_cap: int = BLOCK_SIZE):
+    comp = comp.astype(jnp.int32)
+    B, CC = comp.shape
+    assert CC % 1024 == 0 and out_cap % 1024 == 0
+    words = (
+        comp.reshape(B, CC // 4, 4)
+        * jnp.array([1, 1 << 8, 1 << 16, 1 << 24], jnp.int32)
+    ).sum(axis=2, dtype=jnp.int32)
+    wc = -(-(CC // 4) // 1024) * 1024
+    words = jnp.concatenate(
+        [words, jnp.zeros((B, wc - CC // 4), jnp.int32)], axis=1
+    )
+    owc = -(-(out_cap + 1024) // 4 // 1024) * 1024
+    kern = functools.partial(_decode_kernel_v4, cc=CC, owc=owc)
+    ow_flat, out_lens, errs = pl.pallas_call(
+        kern,
+        grid=(B,),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * owc,), jnp.int32),
+            jax.ShapeDtypeStruct((B,), jnp.int32),
+            jax.ShapeDtypeStruct((B,), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((wc,), jnp.int32),
+            pltpu.SMEM((owc,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=False,
+    )(
+        words.reshape(-1),
+        jnp.asarray(_tag_lut()),
+        comp_lens.astype(jnp.int32),
+    )
+    ow = ow_flat.reshape(B, owc)
+    sh = jnp.arange(4, dtype=jnp.int32) * 8
+    by = (
+        jax.lax.shift_right_logical(ow[:, :, None], sh[None, None, :]) & 0xFF
+    ).reshape(B, owc * 4)
+    return by[:, :out_cap], out_lens, errs
+
+
 def _decode_kernel_v3(words_ref, lut_ref, lens_ref, out_ref,
                       outlen_ref, err_ref, u_smem,
                       sem_in, sem_out, *, cc, wc, owc):
@@ -837,6 +1085,10 @@ def main():
             )
         elif v == "v2":
             fn = functools.partial(decode_v2, comp_d, lens_d, BLOCK_SIZE)
+        elif v == "v3":
+            fn = functools.partial(decode_v3, comp_d, lens_d, BLOCK_SIZE)
+        elif v == "v4":
+            fn = functools.partial(decode_v4, comp_d, lens_d, BLOCK_SIZE)
         else:
             fn = functools.partial(
                 decode_variant, comp_d, lens_d, BLOCK_SIZE, v
