@@ -25,7 +25,7 @@ import jax
 
 from snappier_tpu.constants import BLOCK_SIZE
 from snappier_tpu.format.varint import write_varint
-from snappier_tpu.parallel.mesh import make_mesh, sharded_compress
+from snappier_tpu.parallel.mesh import BLOCK_AXIS, make_mesh, sharded_compress
 
 
 def initialize(coordinator_address: str | None = None, **kw) -> None:
@@ -34,6 +34,20 @@ def initialize(coordinator_address: str | None = None, **kw) -> None:
     if coordinator_address is None and jax.process_count() == 1:
         return
     jax.distributed.initialize(coordinator_address, **kw)
+
+
+def _global_batch(arr: np.ndarray, mesh):
+    """Wrap a host NumPy batch as a global jax.Array sharded on the
+    block axis. In a multi-process run a plain NumPy argument cannot
+    span non-addressable devices; the callback form materializes only
+    this process's shards (every process holds the same full corpus
+    here, so any index is servable)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P(*([BLOCK_AXIS] + [None] * (arr.ndim - 1))))
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx]
+    )
 
 
 def compress_corpus_sharded(data: bytes, mesh=None, kernel: str | None = None):
@@ -47,7 +61,10 @@ def compress_corpus_sharded(data: bytes, mesh=None, kernel: str | None = None):
 
     On a multi-host run each host only materializes its addressable
     shard of ``bodies``; the offsets vector is identical everywhere, so
-    hosts can write disjoint byte ranges of the output independently.
+    hosts can write disjoint byte ranges of the output independently:
+    the returned ``payload`` holds bytes only at this process's blocks
+    (``meta["local_blocks"]``, zeros elsewhere) and the union of all
+    processes' payloads is the complete stream.
     """
     mesh = mesh or make_mesh()
     nd = int(np.prod(list(mesh.shape.values())))
@@ -62,9 +79,18 @@ def compress_corpus_sharded(data: bytes, mesh=None, kernel: str | None = None):
         frags[i, : len(frag)] = frag
         lengths[i] = len(frag)
 
+    multiproc = jax.process_count() > 1
+    if multiproc:
+        frags_in = _global_batch(frags, mesh)
+        lengths_in = _global_batch(lengths, mesh)
+    else:
+        frags_in, lengths_in = frags, lengths
     bodies, body_lens, offsets = sharded_compress(
-        frags, lengths, mesh=mesh, kernel=kernel
+        frags_in, lengths_in, mesh=mesh, kernel=kernel
     )
+    # Lengths and offsets are replicated — every process holds the full
+    # assembly map; payload bytes stay on the devices that produced
+    # them and each process writes only its addressable blocks.
     body_lens = np.asarray(body_lens)
     offsets = np.asarray(offsets)
 
@@ -72,16 +98,33 @@ def compress_corpus_sharded(data: bytes, mesh=None, kernel: str | None = None):
     total = int(offsets[nfrags - 1] + body_lens[nfrags - 1]) if nfrags else 0
     payload = bytearray(len(preamble) + total)
     payload[: len(preamble)] = preamble
-    bodies_np = np.asarray(bodies)  # multi-host: addressable shards only
     base = len(preamble)
-    for i in range(nfrags):
-        o = base + int(offsets[i])
-        payload[o : o + int(body_lens[i])] = (
-            bodies_np[i, : int(body_lens[i])].astype(np.uint8).tobytes()
-        )
+    local_blocks: list[int] = []
+    if multiproc:
+        for shard in bodies.addressable_shards:
+            rows = range(*shard.index[0].indices(b))
+            data = np.asarray(shard.data)
+            for j, i in enumerate(rows):
+                if i >= nfrags:
+                    continue
+                local_blocks.append(i)
+                o = base + int(offsets[i])
+                payload[o : o + int(body_lens[i])] = (
+                    data[j, : int(body_lens[i])].astype(np.uint8).tobytes()
+                )
+        local_blocks.sort()
+    else:
+        bodies_np = np.asarray(bodies)
+        local_blocks = list(range(nfrags))
+        for i in range(nfrags):
+            o = base + int(offsets[i])
+            payload[o : o + int(body_lens[i])] = (
+                bodies_np[i, : int(body_lens[i])].astype(np.uint8).tobytes()
+            )
     meta = {
         "uncompressed_length": n,
         "block_lengths": body_lens[:nfrags],
         "block_offsets": offsets[:nfrags] + base,
+        "local_blocks": local_blocks,
     }
     return bytes(payload), meta

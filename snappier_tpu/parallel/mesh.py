@@ -82,17 +82,22 @@ def _sharded_compress_fn(mesh: Mesh, kernel: str):
         def encode(frags, lengths):
             return jax.vmap(encode_block)(frags, lengths)
 
+    rep = NamedSharding(mesh, P(None))
+
     @functools.partial(
         jax.jit,
         in_shardings=(batch, batch),
-        out_shardings=(batch, batch, NamedSharding(mesh, P(None))),
+        out_shardings=(batch, rep, rep),
     )
     def fn(frags, lengths):
         bodies, body_lens = encode(frags, lengths)
         # Ordered-assembly metadata: global exclusive prefix sum of the
         # compressed lengths. Under GSPMD this lowers to an all-gather
         # of the (tiny) length vector + local scan — the "lengths
-        # travel, payload stays" pattern from SURVEY.md §2.4.
+        # travel, payload stays" pattern from SURVEY.md §2.4. Both the
+        # lengths and the offsets come back replicated so every process
+        # of a multi-host run holds the complete assembly map while the
+        # payload bytes stay sharded where they were produced.
         offsets = jnp.cumsum(body_lens) - body_lens
         return bodies, body_lens, offsets
 
@@ -139,9 +144,10 @@ def sharded_compress(
     """Compress a [B, F] batch of fragments across the mesh.
 
     B must be a multiple of the mesh size. Returns (bodies, body_lens
-    [B], offsets [B]) with the batch dim sharded and offsets replicated
-    (the ordered-assembly map). ``kernel``: 'scalar' (Pallas, default
-    on TPU) or 'scan' (portable XLA)."""
+    [B], offsets [B]) with bodies batch-sharded and the lengths +
+    offsets replicated (the ordered-assembly map every process holds).
+    ``kernel``: 'scalar' (Pallas, default on TPU) or 'scan' (portable
+    XLA)."""
     mesh = mesh or make_mesh()
     return _sharded_compress_fn(mesh, kernel or _default_kernel())(
         jnp.asarray(frags, jnp.int32), jnp.asarray(lengths, jnp.int32)

@@ -22,7 +22,12 @@ TPU shape: chunk payloads are independent given boundaries (SURVEY.md
 §1), so the hot paths batch all full chunks of a feed into one device
 call — encode via ``compress_fragments`` and decode via a single
 static-shaped batched ``decode_block`` (out_cap = 64 KiB always).
-CRC32C runs through the vectorized GF(2) path.
+Decode-side CRC32C of device-decoded chunk bodies runs on the TPU
+(``ops.pallas.crc32c.crc32c_blocks`` over the already-materialized
+decode outputs — zero host CRC work on the device path, parity with
+SnappyStreamDecompressor.cs:117-131 which checksums the decompressed
+bytes); host-engine paths and uncompressed chunks use the fastest host
+CRC (native slicing-by-8, else the NumPy GF(2) path).
 """
 
 from __future__ import annotations
@@ -143,17 +148,31 @@ def _compress_chunks_batched(
     return out
 
 
+def _device_crc_active() -> bool:
+    """True when decoded chunk bodies should be checksummed on device
+    (the Pallas GF(2) kernel needs a real TPU backend)."""
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 def _decompress_chunks_batched(
     payloads: list[bytes], engine: str = "auto"
-) -> list[bytes]:
+) -> tuple[list[bytes], list[int]]:
     """Decode a list of compressed data-chunk payloads (block-format
     buffers, each <= 64 KiB uncompressed) in one device batch, or via
-    the host engines."""
+    the host engines.
+
+    Returns ``(bodies, crcs)`` — the decoded bytes and the (unmasked)
+    CRC32C of each body. On the device engine with a TPU backend the
+    CRCs come from one batched on-device GF(2) kernel over the decode
+    outputs; host-engine and oversize paths use the host CRC."""
     if not payloads:
-        return []
+        return [], []
     from snappier_tpu.runtime.block import _pick_engine
 
     engine = _pick_engine(engine)
+    host_crc = _host_crc_fn()
     if engine in ("native", "oracle"):
         if engine == "native":
             from snappier_tpu.runtime import native as eng
@@ -165,7 +184,7 @@ def _decompress_chunks_batched(
             if expected > MAX_CHUNK_UNCOMPRESSED:
                 raise InvalidDataError("chunk exceeds 64 KiB uncompressed cap")
             out.append(eng.decompress(p))
-        return out
+        return out, [host_crc(b) for b in out]
     # Spec-legal payloads can be up to 16 MiB compressed as long as the
     # uncompressed size fits the 64 KiB chunk cap; anything too big for
     # the fixed device slot decodes through the host block engine.
@@ -180,8 +199,10 @@ def _decompress_chunks_batched(
             )
     device_idx = [i for i in range(len(payloads)) if i not in oversize]
     result: list[bytes] = [b""] * len(payloads)
+    crcs: list[int | None] = [None] * len(payloads)
     for i, body in oversize.items():
         result[i] = body
+        crcs[i] = host_crc(body)
     if device_idx:
         bsz = _pow2_batch(len(device_idx))
         comp = default_pool.rent((bsz, CHUNK_COMP_CAP), np.int32)
@@ -194,13 +215,24 @@ def _decompress_chunks_batched(
             comp, comp_lens, out_cap=BLOCK_SIZE
         )
         default_pool.giveback(comp)
+        dev_crcs = None
+        if _device_crc_active():
+            from snappier_tpu.ops.pallas.crc32c import crc32c_blocks
+
+            dev_crcs = np.asarray(crc32c_blocks(outs, out_lens)).view(
+                np.uint32
+            )
         outs = np.asarray(outs)
         out_lens = np.asarray(out_lens)
         errs = np.asarray(errs)
         for j, i in enumerate(device_idx):
             block_rt._raise_for_err(int(errs[j]))
-            result[i] = outs[j, : int(out_lens[j])].astype(np.uint8).tobytes()
-    return result
+            body = outs[j, : int(out_lens[j])].astype(np.uint8).tobytes()
+            result[i] = body
+            crcs[i] = int(dev_crcs[j]) if dev_crcs is not None else host_crc(
+                body
+            )
+    return result, crcs  # type: ignore[return-value]
 
 
 def stream_compress(data: bytes, engine: str = "auto") -> bytes:
@@ -334,18 +366,17 @@ class StreamDecompressor:
                     f"unknown unskippable chunk type 0x{ctype:02x}"
                 )
         del self._pending[:pos]
-        decoded = _decompress_chunks_batched(payloads, self._engine)
+        decoded, body_crcs = _decompress_chunks_batched(payloads, self._engine)
         ci = 0
         out = bytearray()
         for kind, v in order:
             if kind == "u":
                 out += v  # type: ignore[arg-type]
             else:
-                body = decoded[v]  # type: ignore[index]
-                if _host_crc_fn()(body) != crcs[ci]:
+                if body_crcs[v] != crcs[ci]:  # type: ignore[index]
                     raise InvalidDataError("chunk CRC32C mismatch")
                 ci += 1
-                out += body
+                out += decoded[v]  # type: ignore[index]
         return bytes(out)
 
     def finish(self) -> None:

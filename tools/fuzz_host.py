@@ -1,0 +1,117 @@
+"""Reference-scale host fuzz campaign (SnappyTests.cs:401-446 shape).
+
+The reference runs 20,000 seeded iterations of skewed run-length data,
+with the first 100 sized 64-128 KiB so copies cross the 64 KiB fragment
+boundary. This tool reproduces that volume against the repo's engines:
+
+* campaign ``native`` (default 20,000 iters): C++ host engine
+  round-trip, with an oracle cross-check on every 100th iteration.
+* campaign ``scan``   (default 2,000 iters): the portable JAX kernels
+  through the public block API (``engine="tpu"`` on the CPU backend),
+  exercising prescan, bucketing, batching, and both kernel directions;
+  every 20th iteration is also cross-decoded by the native engine.
+
+Exit code 0 = every iteration exact. Wired into benchmarks/run_all.py;
+results are recorded in docs/ROADMAP.md.
+
+Usage: python tools/fuzz_host.py [native_iters] [scan_iters] [seed]
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def gen_block(rng: np.random.Generator, size: int) -> bytes:
+    """Skewed run-length data: alternating constant runs and noise runs
+    with geometric lengths — the shape that stresses both the match
+    finder (long runs -> long overlapping copies) and literal paths."""
+    out = np.empty(size, np.uint8)
+    pos = 0
+    while pos < size:
+        run = min(int(rng.geometric(0.05)), size - pos)
+        if rng.random() < 0.5:
+            out[pos : pos + run] = rng.integers(0, 256)
+        else:
+            out[pos : pos + run] = rng.integers(0, 256, run, dtype=np.uint8)
+        pos += run
+    return out.tobytes()
+
+
+def size_for(rng: np.random.Generator, i: int) -> int:
+    if i < 100:
+        return int(rng.integers(65536, 131073))
+    return int(rng.integers(0, 8192))
+
+
+def run_native(iters: int, seed: int) -> None:
+    from snappier_tpu.format import oracle
+    from snappier_tpu.runtime import native
+
+    if not native.available():
+        print("native engine unavailable — skipping native campaign")
+        return
+    rng = np.random.default_rng(seed)
+    t0 = time.time()
+    nbytes = 0
+    for i in range(iters):
+        data = gen_block(rng, size_for(rng, i))
+        nbytes += len(data)
+        comp = native.compress(data)
+        assert native.decompress(comp) == data, f"native roundtrip @ {i}"
+        if i % 100 == 0:
+            assert oracle.decompress(comp) == data, f"oracle cross @ {i}"
+    dt = time.time() - t0
+    print(
+        f"native campaign: {iters} iters, {nbytes/1e6:.1f} MB, "
+        f"{dt:.1f}s — all exact"
+    )
+
+
+def run_scan(iters: int, seed: int) -> None:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    cache = pathlib.Path(__file__).parent.parent / ".jax_cache"
+    cache.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from snappier_tpu.runtime import block, native
+
+    rng = np.random.default_rng(seed + 1)
+    t0 = time.time()
+    nbytes = 0
+    for i in range(iters):
+        data = gen_block(rng, size_for(rng, i))
+        nbytes += len(data)
+        comp = block.compress(data, engine="tpu")
+        assert block.decompress(comp, engine="tpu") == data, f"scan rt @ {i}"
+        if i % 20 == 0 and native.available():
+            assert native.decompress(comp) == data, f"native cross @ {i}"
+            assert (
+                block.decompress(native.compress(data), engine="tpu") == data
+            ), f"scan decode of native stream @ {i}"
+    dt = time.time() - t0
+    print(
+        f"scan campaign: {iters} iters, {nbytes/1e6:.1f} MB, "
+        f"{dt:.1f}s — all exact"
+    )
+
+
+def main() -> None:
+    native_iters = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    scan_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
+    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 301
+    run_native(native_iters, seed)
+    run_scan(scan_iters, seed)
+
+
+if __name__ == "__main__":
+    main()
