@@ -5,6 +5,14 @@ and micro-benchmarks (CRC32C, varint).
 
 Usage:
     python benchmarks/run_all.py [--engine native|tpu|oracle] [--quick]
+        [--fuzz]
+
+``--fuzz`` appends the reference-scale randomized campaigns
+(tools/fuzz_host.py: 20,000 native + 2,000 scan-kernel iterations in
+the SnappyTests.cs:401-446 generator shape) — the recurring-check
+wiring for the fuzz suite. Kernel-level micro-benchmarks
+(FindMatchLength/IncrementalCopy analogs) live in tools/perf_probe.py
+and tools/perf_probe_enc.py and run on the real chip.
 
 Prints a markdown table; unlike bench.py (the driver's one-line JSON
 contract) this is the human-facing harness.
@@ -53,6 +61,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--engine", default="auto")
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--fuzz", action="store_true")
     args = ap.parse_args()
     eng = args.engine
 
@@ -118,6 +127,20 @@ def main() -> None:
     print(f"|{'-'*(width+2)}|{'-'*16}|-------|")
     for name, rate, extra in rows:
         print(f"| {name:<{width}} | {rate:>14} | {extra} |")
+
+    if args.fuzz:
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "fuzz_host",
+            pathlib.Path(__file__).resolve().parent.parent
+            / "tools"
+            / "fuzz_host.py",
+        )
+        fuzz_host = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(fuzz_host)
+        fuzz_host.run_native(20000, 301)
+        fuzz_host.run_scan(2000, 301)
 
 
 if __name__ == "__main__":

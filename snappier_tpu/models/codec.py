@@ -38,6 +38,10 @@ class SnappyCodec:
       with_crc: also emit the framing format's per-block CRC32C
         (Crc32CAlgorithm parity) during compression.
       kernel: 'scalar' | 'scan' | None (auto by backend).
+      hash_bits: scalar-encoder match-table size log2 (SURVEY §5.6
+        tunable; reference HashTable.cs:14-18 sizes 8..14).
+      skip_base: scalar-encoder skip-heuristic start constant
+        (SnappyCompressor.cs:227).
     """
 
     def __init__(
@@ -45,11 +49,15 @@ class SnappyCodec:
         fragment_size: int = BLOCK_SIZE,
         with_crc: bool = True,
         kernel: str | None = None,
+        hash_bits: int = 14,
+        skip_base: int = 32,
     ):
         assert fragment_size <= BLOCK_SIZE
         self.fragment_size = fragment_size
         self.with_crc = with_crc
         self.kernel = kernel or _default_kernel()
+        self.hash_bits = hash_bits
+        self.skip_base = skip_base
 
     @functools.cached_property
     def compress_batch(self):
@@ -63,7 +71,12 @@ class SnappyCodec:
                     encode_blocks_scalar,
                 )
 
-                bodies, body_lens = encode_blocks_scalar(frags, lengths)
+                bodies, body_lens = encode_blocks_scalar(
+                    frags,
+                    lengths,
+                    hash_bits=self.hash_bits,
+                    skip_base=self.skip_base,
+                )
             else:
                 # lax.map, not vmap: the scan kernels are built from
                 # sorts/gathers whose vmapped lowering is no faster than

@@ -392,7 +392,8 @@ _HASH_MUL = 0x1E35A7BD  # HashTable.cs magic-multiply form
 
 
 def _encode_kernel(keys_ref, lens_ref, out_ref, outlen_ref,
-                   key_smem, out_smem, table_smem, sem_in, sem_out):
+                   key_smem, out_smem, table_smem, sem_in, sem_out,
+                   *, hash_bits=_HASH_BITS, skip_base=32):
     b = pl.program_id(0)
     fc = key_smem.shape[0]  # padded: fragment + 1024 slack (overreads)
     # Output image: fragment + 2048. Greedy emission is provably
@@ -412,9 +413,6 @@ def _encode_kernel(keys_ref, lens_ref, out_ref, outlen_ref,
 
     def key(i):
         return key_smem[jnp.clip(i, 0, fc - 1)]
-
-    def byte(i):
-        return key(i) & 0xFF
 
     # Epoch-tagged hash table: entry = (b+1) << 16 | pos. Stale entries
     # from other blocks fail the epoch check, so the 16K-entry table is
@@ -461,21 +459,22 @@ def _encode_kernel(keys_ref, lens_ref, out_ref, outlen_ref,
         )
 
     def emit_copy_upto64(op, off, length):
-        """One copy tag (SnappyCompressor.cs:466-505)."""
-        def copy1():
-            out_smem[jnp.clip(op, 0, oc - 1)] = (
-                1 | ((length - 4) << 2) | ((off >> 8) << 5)
-            )
-            out_smem[jnp.clip(op + 1, 0, oc - 1)] = off & 0xFF
-            return op + 2
-
-        def copy2():
-            out_smem[jnp.clip(op, 0, oc - 1)] = 2 | ((length - 1) << 2)
-            out_smem[jnp.clip(op + 1, 0, oc - 1)] = off & 0xFF
-            out_smem[jnp.clip(op + 2, 0, oc - 1)] = (off >> 8) & 0xFF
-            return op + 3
-
-        return jax.lax.cond((length <= 11) & (off < 2048), copy1, copy2)
+        """One copy tag (SnappyCompressor.cs:466-505), branch-free:
+        both tag forms are computed, the copy-1 form selected when it
+        applies, and 3 bytes always stored — the copy-1 overstore at
+        op+2 is overwritten by the next tag (>= 1 KiB image slack).
+        Measured on chip: kills a ~50-cycle lax.cond per copy."""
+        is1 = (length <= 11) & (off < 2048)
+        b0 = jnp.where(
+            is1,
+            1 | ((length - 4) << 2) | ((off >> 8) << 5),
+            2 | ((length - 1) << 2),
+        )
+        p = jnp.clip(op, 0, oc - 3)
+        out_smem[p] = b0
+        out_smem[p + 1] = off & 0xFF
+        out_smem[p + 2] = (off >> 8) & 0xFF
+        return op + jnp.where(is1, 2, 3)
 
     def emit_copy(op, off, length):
         """Repeated-64 emission with the 64<len<68 split
@@ -507,41 +506,48 @@ def _encode_kernel(keys_ref, lens_ref, out_ref, outlen_ref,
         return ip + margin < n
 
     def on_hit(at, cand, lit_start, op):
-        # 4-byte-stride extension via the key array, then a <=3 byte
-        # tail (FindMatchLength shape, SnappyCompressor.cs:562-688).
-        def ext_cond(m):
-            return (at + m + 4 <= n) & (key(at + m) == key(cand + m))
+        # One merged loop walks the match at stride 4 (FindMatchLength
+        # shape, SnappyCompressor.cs:562-688), extending the length AND
+        # seeding the hash table from the covered span (positions
+        # at+1+4k — stride 4 A/B-measured 17% faster than stride 2 for
+        # +0.8% size, still denser than the reference's 2 entries per
+        # match). Merging the seed fori into the extension while was
+        # measured at -166 us/block; a sloppy seed from the final
+        # mismatching iteration is safe because every probe verifies
+        # key(cand) == cur before use.
+        def ext_body(st):
+            m, _ = st
+            p = jnp.minimum(at + m - 3, n - 5)
+            kv = key(p)
+            hh = ((kv * _HASH_MUL) >> (32 - hash_bits)) & (
+                (1 << hash_bits) - 1
+            )
+            table_smem[hh] = epoch | p
+            return m + 4, key(at + m) == key(cand + m)
 
-        m = jax.lax.while_loop(ext_cond, lambda m: m + 4, jnp.int32(4))
+        def ext_cond(st):
+            m, go = st
+            return go & (at + m + 4 <= n)
 
-        def tail_cond(st):
-            m, t = st
-            return (t < 3) & (at + m < n) & (byte(at + m) == byte(cand + m))
+        m, go = jax.lax.while_loop(ext_cond, ext_body, (jnp.int32(4), True))
+        # A mismatch exit overshoots by the failing group; a bounds
+        # exit does not.
+        m = jnp.where(go, m, m - 4)
 
-        m, _ = jax.lax.while_loop(
-            tail_cond, lambda st: (st[0] + 1, st[1] + 1), (m, jnp.int32(0))
-        )
+        # Branchless <= 3-byte tail from the XOR of the next 4-byte
+        # groups (replaces a byte-compare while loop; the trailing-
+        # zero-byte count of the XOR is the extra match length).
+        x = key(at + m) ^ key(cand + m)
+        t0 = jnp.where((x & 0xFF) == 0, 1, 0)
+        t1 = jnp.where((x & 0xFFFF) == 0, 1, 0)
+        t2 = jnp.where((x & 0xFFFFFF) == 0, 1, 0)
+        m = m + jnp.where(x == 0, 3, t0 + t1 + t2)
         m = jnp.minimum(m, n - at)
 
         op2 = emit_literal_checked(op, lit_start, at)
         op3 = emit_copy(op2, at - cand, m)
         end = at + m
-
-        # Seed the covered span (stride 4: A/B-measured as 17% faster
-        # than stride 2 for +0.8% size, still denser/better ratio than
-        # the reference's 2-entries-per-match).
-        def seed(k, _):
-            p = at + 1 + 4 * k
-            kv = key(p)
-            hh = ((kv * _HASH_MUL) >> (32 - _HASH_BITS)) & (
-                (1 << _HASH_BITS) - 1
-            )
-            table_smem[hh] = epoch | p
-            return 0
-
-        nseed = jnp.maximum((jnp.minimum(end, n - 4) - at) // 4, 0)
-        jax.lax.fori_loop(0, nseed, seed, 0, unroll=False)
-        return end, end, op3, jnp.int32(32)
+        return end, end, op3, jnp.int32(skip_base)
 
     def scan_body(st):
         ip, lit_start, op, skip = st
@@ -555,7 +561,7 @@ def _encode_kernel(keys_ref, lens_ref, out_ref, outlen_ref,
         curs = [key(ip + d) for d in range(4)]
         mixes = [c * _HASH_MUL for c in curs]
         hs = [
-            (m >> (32 - _HASH_BITS)) & ((1 << _HASH_BITS) - 1) for m in mixes
+            (m >> (32 - hash_bits)) & ((1 << hash_bits) - 1) for m in mixes
         ]
         entries = [table_smem[h] for h in hs]
         for d in range(4):
@@ -596,7 +602,7 @@ def _encode_kernel(keys_ref, lens_ref, out_ref, outlen_ref,
     ip, lit_start, op, skip = jax.lax.while_loop(
         scan_cond, scan_body,
         (jnp.minimum(jnp.int32(1), n), jnp.int32(0), jnp.int32(0),
-         jnp.int32(32)),
+         jnp.int32(skip_base)),
     )
     op = emit_literal_checked(op, lit_start, n)
     outlen_ref[b] = op
@@ -624,13 +630,26 @@ def _keys_from_frags(frags):
     return jnp.concatenate([keys, jnp.zeros((B, 1024), jnp.int32)], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def encode_blocks_scalar(frags, lengths, interpret: bool | None = None):
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "hash_bits", "skip_base")
+)
+def encode_blocks_scalar(
+    frags,
+    lengths,
+    interpret: bool | None = None,
+    hash_bits: int = _HASH_BITS,
+    skip_base: int = 32,
+):
     """Compress a batch of fragments on the TPU scalar core.
 
     Args:
       frags: int32[B, F] byte values (F <= BLOCK_SIZE, multiple of 128).
       lengths: int32[B].
+      hash_bits: match-table size log2 (reference tunable, HashTable.cs
+        :14-18 sizes 8..14; 14 A/B-measured best on the corpus — 13/12
+        were time-neutral with worse ratio).
+      skip_base: skip-heuristic start constant (SnappyCompressor.cs:227
+        uses 32; the scan stride grows as ``skip >> 5``).
 
     Returns: (bodies int32[B, F + 2048], body_lens int32[B]) — fragment
     tag streams without varint preambles (SnappyCompressor.cs:34-80
@@ -641,10 +660,13 @@ def encode_blocks_scalar(frags, lengths, interpret: bool | None = None):
     frags = frags.astype(jnp.int32)
     B, F = frags.shape
     assert F % 1024 == 0 and F <= BLOCK_SIZE  # 1-D DMA tiling
+    assert 8 <= hash_bits <= 16
     oc = F + 2048  # provable emission bound + >=1 KiB margin (see kernel)
     keys = _keys_from_frags(frags)
     bodies, body_lens = pl.pallas_call(
-        _encode_kernel,
+        functools.partial(
+            _encode_kernel, hash_bits=hash_bits, skip_base=skip_base
+        ),
         grid=(B,),
         out_shape=(
             jax.ShapeDtypeStruct((B * oc,), jnp.int32),
@@ -661,7 +683,7 @@ def encode_blocks_scalar(frags, lengths, interpret: bool | None = None):
         scratch_shapes=[
             pltpu.SMEM((F + 1024,), jnp.int32),  # overread slack
             pltpu.SMEM((oc,), jnp.int32),
-            pltpu.SMEM((1 << _HASH_BITS,), jnp.int32),
+            pltpu.SMEM((1 << hash_bits,), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],

@@ -57,7 +57,7 @@ def _encode_kernel_v(keys_ref, lens_ref, out_ref, outlen_ref,
                      key_smem, out_smem, table_smem, sem_in, sem_out,
                      *, merged_seed, branchless_tail, branchless_copy,
                      no_emit, ext8=False, adv4=False, probe8=False,
-                     hb=_HASH_BITS, nstores=4):
+                     hb=_HASH_BITS, nstores=4, no_scan=False):
     b = pl.program_id(0)
     fc = key_smem.shape[0]
     oc = out_smem.shape[0]
@@ -322,13 +322,16 @@ def _encode_kernel_v(keys_ref, lens_ref, out_ref, outlen_ref,
             lambda: (ip + miss_adv + (skip >> 5), lit_start, op, skip + 1),
         )
 
-    ip, lit_start, op, skip = jax.lax.while_loop(
-        scan_cond, scan_body,
-        (jnp.minimum(jnp.int32(1), n), jnp.int32(0), jnp.int32(0),
-         jnp.int32(32)),
-    )
-    if not no_emit:
-        op = emit_literal_checked(op, lit_start, n)
+    if no_scan:
+        op = jnp.int32(0)
+    else:
+        ip, lit_start, op, skip = jax.lax.while_loop(
+            scan_cond, scan_body,
+            (jnp.minimum(jnp.int32(1), n), jnp.int32(0), jnp.int32(0),
+             jnp.int32(32)),
+        )
+        if not no_emit:
+            op = emit_literal_checked(op, lit_start, n)
     outlen_ref[b] = op
 
     cp_out = pltpu.make_async_copy(
@@ -375,6 +378,7 @@ def encode_variant(frags, lengths, flags: tuple):
         probe8="probe8" in flags,
         hb=hb,
         nstores=nstores,
+        no_scan="noscan" in flags,
     )
     bodies, body_lens = pl.pallas_call(
         kern,
@@ -420,6 +424,7 @@ VARIANT_FLAGS = {
     "e9": ("merged", "btail", "bcopy", "st2"),
     "e10": ("merged", "btail", "bcopy", "hb13"),
     "e11": ("merged", "btail", "bcopy", "hb12", "st2"),
+    "edma": ("noscan", "noemit"),
 }
 
 
