@@ -70,12 +70,23 @@ def _encode_batch_fn():
     if _device_kernel() == "scalar":
         from snappier_tpu.ops.pallas.scalar_codec import encode_blocks_scalar
 
-        return encode_blocks_scalar
-    # lax.map, not vmap: vmapped sort/gather lowering gives no
-    # amortization on TPU; map keeps the well-compiled per-block shape.
-    return jax.jit(
-        lambda fs, ls: jax.lax.map(lambda t: encode_block(*t), (fs, ls))
-    )
+        inner = encode_blocks_scalar
+    else:
+        # lax.map, not vmap: vmapped sort/gather lowering gives no
+        # amortization on TPU; map keeps the well-compiled per-block
+        # shape.
+        def inner(fs, ls):
+            return jax.lax.map(lambda t: encode_block(*t), (fs, ls))
+
+    # Byte payloads cross the host<->device link as uint8 (4x less
+    # transfer than the int32 byte-per-lane kernel layout); the widen/
+    # narrow casts run on device inside the one jit.
+    @jax.jit
+    def fn(fs, ls):
+        bodies, body_lens = inner(fs.astype(jnp.int32), ls)
+        return bodies.astype(jnp.uint8), body_lens
+
+    return fn
 
 
 @functools.cache
@@ -83,12 +94,19 @@ def _decode_batch_fn(out_cap: int):
     if _device_kernel() == "scalar":
         from snappier_tpu.ops.pallas.scalar_codec import decode_blocks_scalar
 
-        return functools.partial(decode_blocks_scalar, out_cap=out_cap)
-    return jax.jit(
-        lambda cs, ns: jax.lax.map(
-            lambda t: decode_block(t[0], t[1], out_cap=out_cap), (cs, ns)
-        )
-    )
+        inner = functools.partial(decode_blocks_scalar, out_cap=out_cap)
+    else:
+        def inner(cs, ns):
+            return jax.lax.map(
+                lambda t: decode_block(t[0], t[1], out_cap=out_cap), (cs, ns)
+            )
+
+    @jax.jit
+    def fn(cs, ns):
+        outs, out_lens, errs = inner(cs.astype(jnp.int32), ns)
+        return outs.astype(jnp.uint8), out_lens, errs
+
+    return fn
 
 
 def _raise_for_err(err: int) -> None:
@@ -104,16 +122,17 @@ def compress_fragments(frags: np.ndarray, lengths: np.ndarray):
     """Compress a batch of fragments on device.
 
     Args:
-      frags: uint8/int32 [B, BLOCK_SIZE], zero-padded rows.
+      frags: uint8 (or any byte-valued) [B, BLOCK_SIZE], zero-padded rows.
       lengths: int32 [B] actual lengths (0..BLOCK_SIZE).
 
     Returns:
-      (bodies, body_lens): int32 [B, FRAGMENT_OUT_CAP] tag-stream slots
+      (bodies, body_lens): uint8 [B, FRAGMENT_OUT_CAP] tag-stream slots
       and int32 [B] lengths. No varint preambles — fragment bodies only
       (SnappyCompressor.cs:34-80 assembly is the caller's job).
     """
     out, out_len = _encode_batch_fn()(
-        jnp.asarray(frags, jnp.int32), jnp.asarray(lengths, jnp.int32)
+        jnp.asarray(np.ascontiguousarray(frags, np.uint8)),
+        jnp.asarray(lengths, jnp.int32),
     )
     return out, out_len
 
@@ -136,9 +155,10 @@ def check_body_lens(bodies_width: int, body_lens: np.ndarray) -> None:
 def decompress_blocks(comp: np.ndarray, comp_lens: np.ndarray, out_cap: int):
     """Decode a batch of full blocks (varint preamble + tags) on device.
 
-    Returns (outs [B, out_cap], out_lens [B], errs [B])."""
+    Returns (outs uint8 [B, out_cap], out_lens [B], errs [B])."""
     return _decode_batch_fn(out_cap)(
-        jnp.asarray(comp, jnp.int32), jnp.asarray(comp_lens, jnp.int32)
+        jnp.asarray(np.ascontiguousarray(comp, np.uint8)),
+        jnp.asarray(comp_lens, jnp.int32),
     )
 
 
@@ -174,14 +194,14 @@ def compress(data, engine: str = "auto") -> bytes:
     arr = _as_u8(data)
     n = len(arr)
     nfrags = max(1, -(-n // BLOCK_SIZE))
-    frags = np.zeros((nfrags, BLOCK_SIZE), np.int32)
+    frags = np.zeros((nfrags, BLOCK_SIZE), np.uint8)
     lengths = np.zeros(nfrags, np.int32)
     for i in range(nfrags):
         frag = arr[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE]
         frags[i, : len(frag)] = frag
         lengths[i] = len(frag)
     bodies, body_lens = compress_fragments(frags, lengths)
-    bodies = np.asarray(bodies, dtype=np.int32)
+    bodies = np.asarray(bodies)
     body_lens = np.asarray(body_lens)
     check_body_lens(bodies.shape[1], body_lens)
     out = bytearray(write_varint(n))
@@ -210,7 +230,7 @@ def decompress(data, engine: str = "auto") -> bytes:
     if expected > BLOCK_SIZE:
         return _decompress_multiblock(arr)
     cap = _bucket(len(arr) + 8)
-    buf = np.zeros((1, cap), np.int32)
+    buf = np.zeros((1, cap), np.uint8)
     buf[0, : len(arr)] = arr
     out_cap = _bucket(max(expected, 1))
     outs, out_lens, errs = decompress_blocks(

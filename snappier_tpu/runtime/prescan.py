@@ -159,7 +159,7 @@ def assemble_fragment_rows(arr: np.ndarray, recs: np.ndarray):
     a standalone block (varint preamble + synthetic lead literal +
     complete tags + synthetic tail literal).
 
-    Returns (comp int32 [nf, cap], comp_lens int32 [nf],
+    Returns (comp uint8 [nf, cap], comp_lens int32 [nf],
     out_lens int64 [nf]) with cap padded to the DMA tiling."""
     rows: list[bytes] = []
     for r in recs:
@@ -178,7 +178,7 @@ def assemble_fragment_rows(arr: np.ndarray, recs: np.ndarray):
         rows.append(b"".join(parts))
     cap = max(len(x) for x in rows) + 8
     cap = -(-cap // 1024) * 1024
-    comp = np.zeros((len(rows), cap), np.int32)
+    comp = np.zeros((len(rows), cap), np.uint8)
     comp_lens = np.zeros(len(rows), np.int32)
     for i, x in enumerate(rows):
         comp[i, : len(x)] = np.frombuffer(x, np.uint8)

@@ -126,7 +126,7 @@ def _compress_chunks_batched(
             out.append(_frame_data_chunk(c, eng.compress(c), checksum))
         return out
     bsz = _pow2_batch(len(chunks))
-    frags = default_pool.rent((bsz, BLOCK_SIZE), np.int32)
+    frags = default_pool.rent((bsz, BLOCK_SIZE), np.uint8)
     lengths = np.zeros(bsz, np.int32)
     for i, c in enumerate(chunks):
         a = np.frombuffer(c, np.uint8)
@@ -205,7 +205,7 @@ def _decompress_chunks_batched(
         crcs[i] = host_crc(body)
     if device_idx:
         bsz = _pow2_batch(len(device_idx))
-        comp = default_pool.rent((bsz, CHUNK_COMP_CAP), np.int32)
+        comp = default_pool.rent((bsz, CHUNK_COMP_CAP), np.uint8)
         comp_lens = np.zeros(bsz, np.int32)
         for j, i in enumerate(device_idx):
             a = np.frombuffer(payloads[i], np.uint8)
