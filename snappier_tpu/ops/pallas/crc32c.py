@@ -64,20 +64,32 @@ def _crc_kernel(data_ref, lbit_ref, out_ref):
     out_ref[b] = x[0, 0]
 
 
-@jax.jit
-def crc32c_blocks(frags, lengths):
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def crc32c_blocks(frags, lengths, interpret: bool | None = None):
     """CRC32C of each row's first ``lengths[b]`` bytes.
 
     Args:
-      frags: int32[B, BLOCK_SIZE] byte values, zero-padded.
+      frags: int32[B, BLOCK_SIZE] byte values; bytes past ``lengths[b]``
+        may hold anything (they are masked here).
       lengths: int32[B].
+      interpret: run in the Pallas interpreter (defaults to True
+        off-TPU, so hermetic CPU tests cover this kernel).
 
     Returns: int32[B] CRC bit patterns.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     frags = frags.astype(jnp.int32)
     B, F = frags.shape
     assert F == BLOCK_SIZE
     lengths = lengths.astype(jnp.int32)
+    # Mask bytes past each row's length: callers (notably the decode
+    # kernels, which over-store garbage words past the output frontier)
+    # do NOT guarantee zero tails, and the right-align roll below turns
+    # tail bytes into leading bytes whose only safe value is zero.
+    frags = jnp.where(
+        jnp.arange(F, dtype=jnp.int32)[None, :] < lengths[:, None], frags, 0
+    )
     # Right-align each message (leading zeros are linear-part no-ops).
     rolled = jax.vmap(lambda r, l: jnp.roll(r, BLOCK_SIZE - l))(
         frags, lengths
@@ -95,6 +107,7 @@ def crc32c_blocks(frags, lengths):
             ),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        interpret=interpret,
     )(rolled.reshape(B, _ROWS, 128), jnp.asarray(_lbit_rev()))
     z = jnp.asarray(zero_crc_table(BLOCK_SIZE).view(np.int32))
     return lin ^ z[jnp.clip(lengths, 0, BLOCK_SIZE)]

@@ -103,3 +103,24 @@ def test_scalar_decode_copy4():
     out, olens, errs = _dec([data])
     assert errs[0] == 0
     assert bytes(out[0, : olens[0]].astype(np.uint8)) == b"abcdabcd"
+
+
+def test_crc32c_blocks_ignores_garbage_tails():
+    """Regression: decode kernels over-store garbage words past the
+    output frontier; the device CRC must mask bytes past each row's
+    length (caught as a CRC mismatch on a 100 MB stream whose final
+    chunk was partial)."""
+    from snappier_tpu.constants import BLOCK_SIZE
+    from snappier_tpu.format.crc32c import crc32c
+    from snappier_tpu.ops.pallas.crc32c import crc32c_blocks
+
+    rng = np.random.default_rng(7)
+    lens = np.array([0, 1, 57344, BLOCK_SIZE - 3, BLOCK_SIZE], np.int32)
+    B = len(lens)
+    frags = rng.integers(0, 256, (B, BLOCK_SIZE), dtype=np.int32)
+    got = np.asarray(
+        crc32c_blocks(jnp.asarray(frags), jnp.asarray(lens))
+    ).view(np.uint32)
+    for i, l in enumerate(lens):
+        want = crc32c(frags[i, :l].astype(np.uint8).tobytes())
+        assert int(got[i]) == want, (i, l)
