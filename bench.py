@@ -49,7 +49,7 @@ def main() -> None:
     from snappier_tpu.models.codec import SnappyCodec
 
     html = _load_html()
-    B = 128  # 128 x 64 KiB = 8 MiB per device call
+    B = 512  # 512 x 64 KiB = 32 MiB per device call (amortizes the ~5 ms dispatch)
     reps = -(-B * BLOCK_SIZE // len(html))
     tiled = (html * reps)[: B * BLOCK_SIZE]
     frags = np.frombuffer(tiled, np.uint8).reshape(B, BLOCK_SIZE).astype(np.int32)

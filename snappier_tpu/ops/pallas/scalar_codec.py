@@ -403,9 +403,9 @@ _HASH_BITS = 14
 _HASH_MUL = 0x1E35A7BD  # HashTable.cs magic-multiply form
 
 
-def _encode_kernel(keys_ref, lens_ref, out_ref, outlen_ref,
-                   key_smem, out_smem, table_smem, sem_in, sem_out,
-                   *, hash_bits=_HASH_BITS, skip_base=32):
+def _encode_kernel(keys_ref, hashes_ref, lens_ref, out_ref, outlen_ref,
+                   key_smem, hash_smem, out_smem, table_smem, sem_in,
+                   sem_hash, sem_out, *, hash_bits=_HASH_BITS, skip_base=32):
     b = pl.program_id(0)
     fc = key_smem.shape[0]  # padded: fragment + 1024 slack (overreads)
     # Output image: fragment + 2048. Greedy emission is provably
@@ -421,7 +421,12 @@ def _encode_kernel(keys_ref, lens_ref, out_ref, outlen_ref,
         keys_ref.at[pl.ds(b * fc, fc)], key_smem, sem_in
     )
     cp_in.start()
+    cp_h = pltpu.make_async_copy(
+        hashes_ref.at[pl.ds(b * fc, fc)], hash_smem, sem_hash
+    )
+    cp_h.start()
     cp_in.wait()
+    cp_h.wait()
 
     def key(i):
         """Unclipped key load (measured clip cost ~2 ops x 8+ loads per
@@ -541,11 +546,7 @@ def _encode_kernel(keys_ref, lens_ref, out_ref, outlen_ref,
         def ext_body(st):
             m, _ = st
             p = jnp.minimum(at + m - 3, n - 5)
-            kv = key(p)
-            hh = ((kv * _HASH_MUL) >> (32 - hash_bits)) & (
-                (1 << hash_bits) - 1
-            )
-            table_smem[hh] = epoch | p
+            table_smem[hash_smem[p]] = epoch | p
             return m + 4, key(at + m) == key(cand + m)
 
         def ext_cond(st):
@@ -582,10 +583,7 @@ def _encode_kernel(keys_ref, lens_ref, out_ref, outlen_ref,
         # the short-offset candidates a sequential probe would have
         # found via its own just-written entries.
         curs = [key(ip + d) for d in range(4)]
-        mixes = [c * _HASH_MUL for c in curs]
-        hs = [
-            (m >> (32 - hash_bits)) & ((1 << hash_bits) - 1) for m in mixes
-        ]
+        hs = [hash_smem[ip + d] for d in range(4)]
         entries = [table_smem[h] for h in hs]
         for d in range(4):
             table_smem[hs[d]] = epoch | (ip + d)
@@ -686,6 +684,12 @@ def encode_blocks_scalar(
     assert 8 <= hash_bits <= 16
     oc = F + 2048  # provable emission bound + >=1 KiB margin (see kernel)
     keys = _keys_from_frags(frags)
+    # Hashes precomputed on the VPU (one vector multiply) instead of 4
+    # scalar multiplies per probe group in-kernel (HashTable.cs:91-126
+    # magic-multiply form; measured ~8% on chip).
+    hashes = jax.lax.shift_right_logical(
+        keys * _HASH_MUL, 32 - hash_bits
+    ) & ((1 << hash_bits) - 1)
     bodies, body_lens = pl.pallas_call(
         functools.partial(
             _encode_kernel, hash_bits=hash_bits, skip_base=skip_base
@@ -697,6 +701,7 @@ def encode_blocks_scalar(
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
@@ -705,12 +710,14 @@ def encode_blocks_scalar(
         ),
         scratch_shapes=[
             pltpu.SMEM((F + 1024,), jnp.int32),  # overread slack
+            pltpu.SMEM((F + 1024,), jnp.int32),  # precomputed hashes
             pltpu.SMEM((oc,), jnp.int32),
             pltpu.SMEM((1 << hash_bits,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(keys.reshape(-1), lengths.astype(jnp.int32))
+    )(keys.reshape(-1), hashes.reshape(-1), lengths.astype(jnp.int32))
     return bodies.reshape(B, oc), body_lens
