@@ -1390,10 +1390,8 @@ def _decode_kernel_v7(words_ref, spec0_ref, spec1_ref, lens_ref, out_ref,
     def funnel(lo, hi, a8, hs, hm):
         return jax.lax.shift_right_logical(lo, a8) | ((hi << hs) & hm)
 
-    smax = jnp.int32(img.shape[0] - 1)
-
     def sw(i):
-        return img[jnp.clip(i, 0, smax)]
+        return img[i]
 
     def append_stream(spos, dpos, K):
         rel = spos - dpos
@@ -1405,7 +1403,7 @@ def _decode_kernel_v7(words_ref, spec0_ref, spec1_ref, lens_ref, out_ref,
         da8 = (dpos & 3) * 8
         lowmask = (1 << da8) - 1
         base = w0 + rw
-        prev = sw(base)
+        prev = sw(jnp.maximum(base, 0))
         nxt = sw(base + 1)
         svv = funnel(prev, nxt, a8, hs, hm)
         img[w0] = (img[w0] & lowmask) | (svv & ~lowmask)
@@ -1572,7 +1570,7 @@ def decode_v7(comp, comp_lens, out_cap, unroll2=False):
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
-            pltpu.SMEM((wc + owc,), jnp.int32),
+            pltpu.SMEM((wc + owc + 8,), jnp.int32),
             pltpu.SMEM((CC,), jnp.int32),
             pltpu.SMEM((CC,), jnp.int32),
             pltpu.SemaphoreType.DMA,
