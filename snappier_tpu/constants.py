@@ -110,6 +110,22 @@ def greedy_emit_bound(n: int) -> int:
     return n + n // 65 + 8
 
 
+def min_compressed_length(n: int) -> int:
+    """Provable lower bound on ANY valid compressed block for ``n``
+    input bytes — the fail-fast test for Try*/into destinations
+    (``Snappy.TryCompress`` fails before compressing when the output
+    span cannot possibly fit, Snappy.cs:55 / SnappyCompressor.cs:24).
+
+    Derivation: every tag covers at most ``2 * ceil(cover / 64)`` times
+    fewer bytes than it costs — a copy covers <= 64 bytes for >= 2
+    emitted bytes (copy-1; copy-2/4 cost more), and a literal of
+    length L costs >= L + 1 >= 2 * ceil(L / 64). Summing over tags,
+    body >= 2 * ceil(n / 64); add the varint preamble."""
+    from snappier_tpu.format.varint import varint_len
+
+    return varint_len(n) + (0 if n == 0 else 2 * (-(-n // 64)))
+
+
 def plausible_uncompressed_bound(comp_len: int) -> int:
     """Largest uncompressed length any valid ``comp_len``-byte block
     stream could claim. A 3-byte copy-2 tag yields at most 64 output

@@ -25,9 +25,14 @@ import numpy as np
 from snappier_tpu.constants import (
     BLOCK_SIZE,
     max_compressed_length,
+    min_compressed_length,
     plausible_uncompressed_bound,
 )
-from snappier_tpu.errors import BufferTooSmallError, InvalidDataError
+from snappier_tpu.errors import (
+    BufferTooSmallError,
+    InvalidDataError,
+    InvalidOperationError,
+)
 from snappier_tpu.format.varint import read_varint, write_varint
 from snappier_tpu.ops.decode import (
     ERR_BAD_OFFSET,
@@ -287,44 +292,87 @@ def get_max_compressed_length(n: int) -> int:
     return max_compressed_length(n)
 
 
+def _check_overlap(data, out) -> None:
+    """Reject overlapping input/output buffers, matching the
+    reference's contract (``SnappyCompressor.cs:27``, tested at
+    ``SnappyTests.cs:204-210``). Only buffer views can alias; bytes
+    inputs were already copied by the caller's slicing."""
+    try:
+        a = np.frombuffer(memoryview(data), np.uint8)
+        b = np.frombuffer(memoryview(out), np.uint8)
+    except (TypeError, ValueError):
+        return
+    if a.size and b.size and np.shares_memory(a, b):
+        raise InvalidOperationError("input and output buffers overlap")
+
+
+def _write_out(out, blob: bytes) -> None:
+    if isinstance(out, np.ndarray):
+        out[: len(blob)] = np.frombuffer(blob, np.uint8)
+    else:
+        out[: len(blob)] = blob
+
+
 def compress_into(data, out, engine: str = "auto") -> int:
     """Compress into a caller buffer; returns bytes written.
     Parity: ``Snappy.Compress(input, output)`` (Snappy.cs:37)."""
+    _check_overlap(data, out)
+    if len(out) < min_compressed_length(len(_as_u8(data))):
+        # Fail fast (before any device work) when the destination
+        # cannot possibly hold a valid stream (Snappy.cs:37-52 shape).
+        raise BufferTooSmallError(
+            f"destination ({len(out)} bytes) is below the minimum "
+            "possible compressed size"
+        )
     comp = compress(data, engine=engine)
     if len(out) < len(comp):
         raise BufferTooSmallError(
             f"need {len(comp)} bytes, destination holds {len(out)}"
         )
-    out[: len(comp)] = comp
+    _write_out(out, comp)
     return len(comp)
 
 
 def try_compress(data, out, engine: str = "auto") -> tuple[bool, int]:
     """Parity: ``Snappy.TryCompress`` (Snappy.cs:55)."""
+    _check_overlap(data, out)
+    if len(out) < min_compressed_length(len(_as_u8(data))):
+        return False, 0  # fail fast, no device work
     comp = compress(data, engine=engine)
     if len(out) < len(comp):
         return False, 0
-    out[: len(comp)] = comp
+    _write_out(out, comp)
     return True, len(comp)
 
 
 def decompress_into(data, out, engine: str = "auto") -> int:
     """Decompress into a caller buffer; returns bytes written.
     Parity: ``Snappy.Decompress(input, output)`` (Snappy.cs:153)."""
+    _check_overlap(data, out)
+    if len(out) < get_uncompressed_length(data):
+        # Fail fast on the claimed length before decoding anything
+        # (SnappyDecompressor reads the preamble first, :43-63).
+        raise BufferTooSmallError(
+            f"destination ({len(out)} bytes) is below the stream's "
+            "claimed uncompressed length"
+        )
     plain = decompress(data, engine=engine)
     if len(out) < len(plain):
         raise BufferTooSmallError(
             f"need {len(plain)} bytes, destination holds {len(out)}"
         )
-    out[: len(plain)] = plain
+    _write_out(out, plain)
     return len(plain)
 
 
 def try_decompress(data, out, engine: str = "auto") -> tuple[bool, int]:
     """Parity: ``Snappy.TryDecompress`` (Snappy.cs:172). Malformed
     input still raises; only an undersized destination returns False."""
+    _check_overlap(data, out)
+    if len(out) < get_uncompressed_length(data):
+        return False, 0  # fail fast, no device work
     plain = decompress(data, engine=engine)
     if len(out) < len(plain):
         return False, 0
-    out[: len(plain)] = plain
+    _write_out(out, plain)
     return True, len(plain)

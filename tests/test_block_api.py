@@ -92,3 +92,82 @@ def test_adversarial_expansion_roundtrips():
     comp = st.compress(data, engine="tpu")
     assert st.decompress(comp, engine="oracle") == data
     assert oracle.decompress(comp) == data
+
+
+def test_overlapping_buffers_rejected():
+    """Contract parity: SnappyCompressor.cs:27 rejects overlapping
+    input/output spans (SnappyTests.cs:204-210)."""
+    import numpy as np
+    import pytest
+
+    from snappier_tpu.errors import InvalidOperationError
+    from snappier_tpu.runtime import block
+
+    buf = np.zeros(4096, np.uint8)
+    buf[:100] = np.frombuffer((b"overlap test data!" * 6)[:100], np.uint8)
+    src = buf[:100]
+    dst = buf[50:300]  # overlaps src[50:100]
+    for fn in (block.compress_into, block.try_compress):
+        with pytest.raises(InvalidOperationError):
+            fn(src, dst, engine="oracle")
+    # Disjoint views of one buffer are fine.
+    n = block.compress_into(buf[:100], buf[200:600], engine="oracle")
+    assert n > 0
+
+
+def test_try_compress_fails_fast_without_device_work():
+    """A destination below min_compressed_length returns False before
+    any compression happens (Snappy.TryCompress fail-fast shape)."""
+    import numpy as np
+
+    from snappier_tpu.constants import min_compressed_length
+    from snappier_tpu.runtime import block
+
+    data = b"fail fast please " * 4096  # 64 KiB+
+    small = bytearray(min_compressed_length(len(data)) - 1)
+    ok, n = block.try_compress(data, small, engine="oracle")
+    assert (ok, n) == (False, 0)
+    import pytest
+
+    from snappier_tpu.errors import BufferTooSmallError
+
+    with pytest.raises(BufferTooSmallError):
+        block.compress_into(data, small, engine="oracle")
+
+
+def test_try_decompress_fails_fast_on_claimed_length():
+    from snappier_tpu.format import oracle
+    from snappier_tpu.runtime import block
+
+    comp = oracle.compress(b"y" * 5000)
+    ok, n = block.try_decompress(comp, bytearray(4999), engine="oracle")
+    assert (ok, n) == (False, 0)
+    out = bytearray(5000)
+    assert block.decompress_into(comp, out, engine="oracle") == 5000
+    assert bytes(out) == b"y" * 5000
+
+
+def test_min_compressed_length_is_a_true_lower_bound():
+    """min_compressed_length must never exceed an actual encoder's
+    output, across engines and data shapes."""
+    import numpy as np
+
+    from snappier_tpu.constants import min_compressed_length
+    from snappier_tpu.format import oracle
+    from snappier_tpu.runtime import block
+
+    rng = np.random.default_rng(11)
+    cases = [
+        b"",
+        b"a",
+        b"ab" * 40,
+        b"a" * 70000,
+        bytes(rng.integers(0, 256, 5000, np.uint8)),
+        (b"the quick brown fox " * 400)[:7000],
+    ]
+    for d in cases:
+        for eng in ("oracle", "auto"):
+            comp = block.compress(d, engine=eng)
+            assert len(comp) >= min_compressed_length(len(d)), (
+                len(comp), min_compressed_length(len(d)), len(d), eng
+            )
