@@ -461,6 +461,156 @@ int stpu_scan_fragments(const uint8_t* input, size_t n, int64_t* recs,
   return STPU_OK;
 }
 
+// ---------------------------------------------------------------------------
+// Framing format (Snappy streaming format): host-side one-shot stream
+// compress/decompress. Chunk layout per SnappyStreamCompressor.cs:
+// 10-byte sNaPpY stream-identifier chunk, then per data chunk 1-byte
+// type + 3-byte LE length + 4-byte LE masked CRC32C of the
+// UNCOMPRESSED payload, with the uncompressed fallback when
+// compression does not shrink (SnappyStreamCompressor.cs:213-229).
+// This is the GB/s host IO pipeline behind the Python stream facade
+// (the chunk state machines stay in Python for incremental feeds; the
+// one-shot paths route here).
+
+uint32_t stpu_crc32c(const uint8_t* data, size_t n, uint32_t crc);
+
+static const uint8_t kStreamHeader[10] = {0xff, 0x06, 0x00, 0x00, 0x73,
+                                          0x4e, 0x61, 0x50, 0x70, 0x59};
+
+static inline uint32_t mask_crc32c(uint32_t crc) {
+  return ((crc >> 15) | (crc << 17)) + 0xa282ead8u;  // Crc32CAlgorithm.cs:157
+}
+
+static inline uint32_t load24(const uint8_t* p) {
+  return static_cast<uint32_t>(p[0]) | (static_cast<uint32_t>(p[1]) << 8) |
+         (static_cast<uint32_t>(p[2]) << 16);
+}
+
+size_t stpu_stream_max_compressed_length(size_t n) {
+  size_t chunks = n / kBlockSize + 1;
+  return 10 + chunks * (8 + stpu_max_compressed_length(kBlockSize));
+}
+
+int stpu_stream_compress(const uint8_t* input, size_t n, uint8_t* out,
+                         size_t out_cap, size_t* out_len) {
+  if (out_cap < stpu_stream_max_compressed_length(n))
+    return STPU_BUFFER_TOO_SMALL;
+  uint8_t* op = out;
+  std::memcpy(op, kStreamHeader, 10);
+  op += 10;
+  uint16_t table[1u << kMaxHashBits];
+  for (size_t start = 0; start < n; start += kBlockSize) {
+    size_t chunk = n - start < kBlockSize ? n - start : kBlockSize;
+    const uint8_t* src = input + start;
+    uint32_t crc = mask_crc32c(stpu_crc32c(src, chunk, 0));
+    // Compress the block body in place after the 8-byte chunk header
+    // (type+len+crc), exactly where it lands if it shrinks.
+    uint8_t* body = op + 8;
+    uint8_t* bp = body + write_varint32(body, static_cast<uint32_t>(chunk));
+    bp = compress_fragment(src, chunk, bp, table);
+    size_t comp_len = static_cast<size_t>(bp - body);
+    uint8_t type;
+    size_t payload;
+    if (comp_len < chunk) {
+      type = 0x00;  // CompressedData
+      payload = comp_len;
+    } else {
+      type = 0x01;  // UncompressedData fallback
+      payload = chunk;
+      std::memcpy(body, src, chunk);
+    }
+    op[0] = type;
+    op[1] = static_cast<uint8_t>((payload + 4) & 0xff);
+    op[2] = static_cast<uint8_t>(((payload + 4) >> 8) & 0xff);
+    op[3] = static_cast<uint8_t>(((payload + 4) >> 16) & 0xff);
+    op[4] = static_cast<uint8_t>(crc & 0xff);
+    op[5] = static_cast<uint8_t>((crc >> 8) & 0xff);
+    op[6] = static_cast<uint8_t>((crc >> 16) & 0xff);
+    op[7] = static_cast<uint8_t>((crc >> 24) & 0xff);
+    op = body + payload;
+  }
+  *out_len = static_cast<size_t>(op - out);
+  return STPU_OK;
+}
+
+// Exact total uncompressed size of a framed stream (header walk only;
+// lets the caller size the output buffer before stpu_stream_decompress;
+// add 64 bytes of sloppy-copy slack when allocating).
+int stpu_stream_uncompressed_length(const uint8_t* input, size_t n,
+                                    uint64_t* total) {
+  size_t ip = 0;
+  uint64_t sum = 0;
+  while (ip < n) {
+    if (ip + 4 > n) return STPU_INVALID_DATA;
+    uint8_t type = input[ip];
+    size_t plen = load24(input + ip + 1);
+    if (ip + 4 + plen > n) return STPU_INVALID_DATA;
+    if (type == 0x00) {
+      if (plen < 4) return STPU_INVALID_DATA;
+      uint64_t expected = 0;
+      if (stpu_uncompressed_length(input + ip + 8, plen - 4, &expected) !=
+          STPU_OK)
+        return STPU_INVALID_DATA;
+      sum += expected;
+    } else if (type == 0x01) {
+      if (plen < 4) return STPU_INVALID_DATA;
+      sum += plen - 4;
+    }
+    ip += 4 + plen;
+  }
+  *total = sum;
+  return STPU_OK;
+}
+
+int stpu_stream_decompress(const uint8_t* input, size_t n, uint8_t* out,
+                           size_t out_cap, size_t* out_len) {
+  size_t ip = 0;
+  size_t op = 0;
+  bool seen_header = false;
+  while (ip < n) {
+    if (ip + 4 > n) return STPU_INVALID_DATA;  // trailing partial chunk
+    uint8_t type = input[ip];
+    size_t plen = load24(input + ip + 1);
+    if (ip + 4 + plen > n) return STPU_INVALID_DATA;
+    const uint8_t* payload = input + ip + 4;
+    ip += 4 + plen;
+    if (type == 0xff) {  // StreamIdentifier
+      if (plen != 6 || std::memcmp(payload, kStreamHeader + 4, 6) != 0)
+        return STPU_INVALID_DATA;
+      seen_header = true;
+      continue;
+    }
+    if (type == 0xfe || type >= 0x80) continue;  // padding / skippable
+    if (type > 0x01) return STPU_INVALID_DATA;   // unknown unskippable
+    if (!seen_header) return STPU_INVALID_DATA;
+    if (plen < 4) return STPU_INVALID_DATA;  // shorter than its CRC
+    uint32_t want_crc = load32(payload);
+    const uint8_t* body = payload + 4;
+    size_t body_len = plen - 4;
+    size_t produced;
+    if (type == 0x00) {
+      uint64_t expected = 0;
+      if (stpu_uncompressed_length(body, body_len, &expected) != STPU_OK ||
+          expected > kBlockSize)
+        return STPU_INVALID_DATA;
+      size_t dlen = 0;
+      int rc = stpu_decompress(body, body_len, out + op, out_cap - op, &dlen);
+      if (rc != STPU_OK) return rc;
+      produced = dlen;
+    } else {
+      if (body_len > kBlockSize) return STPU_INVALID_DATA;
+      if (op + body_len > out_cap) return STPU_BUFFER_TOO_SMALL;
+      std::memcpy(out + op, body, body_len);
+      produced = body_len;
+    }
+    if (mask_crc32c(stpu_crc32c(out + op, produced, 0)) != want_crc)
+      return STPU_INVALID_DATA;
+    op += produced;
+  }
+  *out_len = op;
+  return STPU_OK;
+}
+
 uint32_t stpu_crc32c(const uint8_t* data, size_t n, uint32_t crc) {
   if (!crc_init_done) crc_init();
   uint32_t c = crc ^ 0xffffffffu;

@@ -87,6 +87,24 @@ def load():
             ctypes.c_size_t,
             ctypes.c_uint32,
         ]
+        for name in ("stpu_stream_compress", "stpu_stream_decompress"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_int
+            fn.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_size_t),
+            ]
+        lib.stpu_stream_max_compressed_length.restype = ctypes.c_size_t
+        lib.stpu_stream_max_compressed_length.argtypes = [ctypes.c_size_t]
+        lib.stpu_stream_uncompressed_length.restype = ctypes.c_int
+        lib.stpu_stream_uncompressed_length.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_uint64),
+        ]
         if hasattr(lib, "stpu_scan_fragments"):
             lib.stpu_scan_fragments.restype = ctypes.c_int
             lib.stpu_scan_fragments.argtypes = [
@@ -195,3 +213,46 @@ def get_uncompressed_length(data: bytes) -> int:
     if rc != _OK:
         raise InvalidDataError("bad length preamble")
     return val.value
+
+
+def stream_compress(data: bytes) -> bytes:
+    """One-shot framing-format compress in the C++ runtime (chunking,
+    CRC32C, headers, uncompressed fallback — the host IO pipeline
+    behind the Python facade's one-shot path)."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable")
+    data = bytes(data)
+    cap = lib.stpu_stream_max_compressed_length(len(data))
+    out = (ctypes.c_uint8 * cap)()
+    out_len = ctypes.c_size_t()
+    rc = lib.stpu_stream_compress(
+        data, len(data), out, cap, ctypes.byref(out_len)
+    )
+    if rc != _OK:
+        raise InvalidDataError(f"native stream compress failed rc={rc}")
+    return ctypes.string_at(out, out_len.value)
+
+
+def stream_decompress(data: bytes) -> bytes:
+    """One-shot framing-format decompress with full CRC verification."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable")
+    data = bytes(data)
+    total = ctypes.c_uint64()
+    rc = lib.stpu_stream_uncompressed_length(
+        data, len(data), ctypes.byref(total)
+    )
+    if rc != _OK:
+        raise InvalidDataError("malformed framed stream")
+    out = (ctypes.c_uint8 * (total.value + 64))()  # sloppy-copy slack
+    out_len = ctypes.c_size_t()
+    rc = lib.stpu_stream_decompress(
+        data, len(data), out, total.value + 64, ctypes.byref(out_len)
+    )
+    if rc == _INVALID:
+        raise InvalidDataError("corrupt framed stream")
+    if rc != _OK:
+        raise InvalidDataError(f"native stream decompress failed rc={rc}")
+    return ctypes.string_at(out, out_len.value)

@@ -236,9 +236,16 @@ def _decompress_chunks_batched(
 
 
 def stream_compress(data: bytes, engine: str = "auto") -> bytes:
-    """One-shot framing-format compress (batched on device, or via the
-    native host engine)."""
+    """One-shot framing-format compress (batched on device, or entirely
+    inside the C++ runtime for the native engine — chunking, CRC and
+    headers included, the host IO pipeline)."""
+    from snappier_tpu.runtime.block import _pick_engine
+
     data = bytes(data)
+    if _pick_engine(engine) == "native":
+        from snappier_tpu.runtime import native
+
+        return native.stream_compress(data)
     chunks = [
         data[i : i + MAX_CHUNK_UNCOMPRESSED]
         for i in range(0, len(data), MAX_CHUNK_UNCOMPRESSED)
@@ -248,8 +255,15 @@ def stream_compress(data: bytes, engine: str = "auto") -> bytes:
 
 def stream_decompress(data: bytes, engine: str = "auto") -> bytes:
     """One-shot framing-format decompress with full CRC verification."""
+    from snappier_tpu.runtime.block import _pick_engine
+
+    data = bytes(data)
+    if _pick_engine(engine) == "native":
+        from snappier_tpu.runtime import native
+
+        return native.stream_decompress(data)
     d = StreamDecompressor(engine=engine)
-    out = d.decompress(bytes(data))
+    out = d.decompress(data)
     d.finish()
     return out
 

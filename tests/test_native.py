@@ -93,3 +93,48 @@ def test_native_full_corpus_roundtrip(corpus):
         comp = native.compress(data)
         assert native.decompress(comp) == data, name
         assert oracle.decompress(comp) == data, name
+
+
+def test_native_stream_framing_roundtrip_and_golden():
+    """C++ framing pipeline: round trip, golden decode, cross-engine
+    compatibility, uncompressed fallback shape
+    (SnappyStreamTests.cs:242-262), corrupt CRC rejection."""
+    import numpy as np
+    import pytest
+
+    from snappier_tpu.errors import InvalidDataError
+    from snappier_tpu.runtime import native
+    from snappier_tpu.runtime import stream as pstream
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    plain = load_corpus_file("html_x_4")
+    golden = load_corpus_file("html_x_4.snappy")
+    if plain is not None and golden is not None:
+        assert native.stream_decompress(golden) == plain
+    if plain is None:
+        plain = b"the quick brown fox " * 5000
+    f = native.stream_compress(plain)
+    assert native.stream_decompress(f) == plain
+    # cross-engine: oracle facade reads native framing and vice versa
+    assert pstream.stream_decompress(f, engine="oracle") == plain
+    pf = pstream.stream_compress(plain, engine="oracle")
+    assert native.stream_decompress(pf) == plain
+    # empty stream is just the header
+    assert native.stream_compress(b"")[:10] == pstream.STREAM_HEADER
+    assert native.stream_decompress(native.stream_compress(b"")) == b""
+    # incompressible input takes the uncompressed-fallback chunk shape
+    rnd = np.random.default_rng(0).integers(0, 256, 256, np.uint8).tobytes()
+    fr = native.stream_compress(rnd)
+    assert len(fr) == 10 + 8 + 256
+    assert native.stream_decompress(fr) == rnd
+    # CRC flip and truncation both reject
+    bad = bytearray(f)
+    bad[15] ^= 0x40
+    with pytest.raises(InvalidDataError):
+        native.stream_decompress(bytes(bad))
+    with pytest.raises(InvalidDataError):
+        native.stream_decompress(f[:-3])
+    # data before the stream identifier rejects
+    with pytest.raises(InvalidDataError):
+        native.stream_decompress(f[10:])

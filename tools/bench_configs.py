@@ -153,10 +153,45 @@ def config4(B: int = 1024) -> None:
     )
 
 
+def config3_native(size_mb: int = 100) -> None:
+    from snappier_tpu.runtime import native
+
+    if not native.available():
+        print(json.dumps({"config": "3n", "skipped": "no native"}))
+        return
+    data = (_html() * (size_mb * 1_000_000 // len(_html()) + 1))[
+        : size_mb * 1_000_000
+    ]
+    native.stream_decompress(native.stream_compress(data[: 8 << 20]))
+    best_c = best_d = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        framed = native.stream_compress(data)
+        best_c = min(best_c, time.perf_counter() - t0)
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = native.stream_decompress(framed)
+        best_d = min(best_d, time.perf_counter() - t0)
+    assert out == data
+    print(
+        json.dumps(
+            {
+                "config": "3n: 100 MB framed stream, C++ host pipeline",
+                "compress_MBps": round(len(data) / best_c / 1e6, 1),
+                "decompress_MBps": round(len(data) / best_d / 1e6, 1),
+                "ratio": round(len(framed) / len(data), 4),
+            }
+        ),
+        flush=True,
+    )
+
+
 def main() -> None:
-    which = sys.argv[1:] or ["config3", "config4"]
+    which = sys.argv[1:] or ["config3", "config3n", "config4"]
     if "config3" in which:
         config3()
+    if "config3n" in which:
+        config3_native()
     if "config4" in which:
         config4()
 
