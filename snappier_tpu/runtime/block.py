@@ -71,15 +71,18 @@ def _device_kernel() -> str:
 
 
 @functools.cache
-def _encode_batch_fn():
+def _encode_batch_fn(hash_bits: int = 14, skip_base: int = 32):
     if _device_kernel() == "scalar":
         from snappier_tpu.ops.pallas.scalar_codec import encode_blocks_scalar
 
-        inner = encode_blocks_scalar
+        inner = functools.partial(
+            encode_blocks_scalar, hash_bits=hash_bits, skip_base=skip_base
+        )
     else:
         # lax.map, not vmap: vmapped sort/gather lowering gives no
         # amortization on TPU; map keeps the well-compiled per-block
-        # shape.
+        # shape. (The scan encoder finds exact matches — the lossy-table
+        # tunables do not apply to it.)
         def inner(fs, ls):
             return jax.lax.map(lambda t: encode_block(*t), (fs, ls))
 
@@ -123,19 +126,27 @@ def _raise_for_err(err: int) -> None:
 # --- Batched device entry points -------------------------------------------
 
 
-def compress_fragments(frags: np.ndarray, lengths: np.ndarray):
+def compress_fragments(
+    frags: np.ndarray,
+    lengths: np.ndarray,
+    hash_bits: int = 14,
+    skip_base: int = 32,
+):
     """Compress a batch of fragments on device.
 
     Args:
       frags: uint8 (or any byte-valued) [B, BLOCK_SIZE], zero-padded rows.
       lengths: int32 [B] actual lengths (0..BLOCK_SIZE).
+      hash_bits: scalar-encoder match-table size log2 (SURVEY §5.6
+        tunable, HashTable.cs:14-18 sizes 8..14; 14 A/B-measured best).
+      skip_base: skip-heuristic start constant (SnappyCompressor.cs:227).
 
     Returns:
       (bodies, body_lens): uint8 [B, FRAGMENT_OUT_CAP] tag-stream slots
       and int32 [B] lengths. No varint preambles — fragment bodies only
       (SnappyCompressor.cs:34-80 assembly is the caller's job).
     """
-    out, out_len = _encode_batch_fn()(
+    out, out_len = _encode_batch_fn(hash_bits, skip_base)(
         jnp.asarray(np.ascontiguousarray(frags, np.uint8)),
         jnp.asarray(lengths, jnp.int32),
     )

@@ -171,3 +171,31 @@ def test_min_compressed_length_is_a_true_lower_bound():
             assert len(comp) >= min_compressed_length(len(d)), (
                 len(comp), min_compressed_length(len(d)), len(d), eng
             )
+
+
+def test_tunables_plumbed_through_batch_api():
+    """SURVEY §5.6 named tunables (hash-table bits, skip constant) reach
+    the device encoder through the batch facade; any setting must stay
+    bit-exact on round trip."""
+    import numpy as np
+
+    from snappier_tpu.constants import BLOCK_SIZE
+    from snappier_tpu.format import oracle
+    from snappier_tpu.format.varint import write_varint
+    from snappier_tpu.runtime import block
+
+    data = (b"tunable snappy data " * 800)[:16000]
+    frags = np.zeros((1, BLOCK_SIZE), np.uint8)
+    frags[0, : len(data)] = np.frombuffer(data, np.uint8)
+    lengths = np.array([len(data)], np.int32)
+    sizes = {}
+    for hb, sb in ((14, 32), (10, 32), (14, 64)):
+        bodies, blens = block.compress_fragments(
+            frags, lengths, hash_bits=hb, skip_base=sb
+        )
+        comp = write_varint(len(data)) + bytes(
+            np.asarray(bodies)[0, : int(np.asarray(blens)[0])]
+        )
+        assert oracle.decompress(comp) == data, (hb, sb)
+        sizes[(hb, sb)] = len(comp)
+    assert len(sizes) == 3
