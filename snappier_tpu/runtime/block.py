@@ -71,8 +71,10 @@ def _device_kernel() -> str:
 
 
 @functools.cache
-def _encode_batch_fn(hash_bits: int = 14, skip_base: int = 32):
-    if _device_kernel() == "scalar":
+def _encode_batch_fn(
+    hash_bits: int = 14, skip_base: int = 32, kernel: str | None = None
+):
+    if (kernel or _device_kernel()) == "scalar":
         from snappier_tpu.ops.pallas.scalar_codec import encode_blocks_scalar
 
         inner = functools.partial(
@@ -131,6 +133,7 @@ def compress_fragments(
     lengths: np.ndarray,
     hash_bits: int = 14,
     skip_base: int = 32,
+    kernel: str | None = None,
 ):
     """Compress a batch of fragments on device.
 
@@ -146,7 +149,7 @@ def compress_fragments(
       and int32 [B] lengths. No varint preambles — fragment bodies only
       (SnappyCompressor.cs:34-80 assembly is the caller's job).
     """
-    out, out_len = _encode_batch_fn(hash_bits, skip_base)(
+    out, out_len = _encode_batch_fn(hash_bits, skip_base, kernel)(
         jnp.asarray(np.ascontiguousarray(frags, np.uint8)),
         jnp.asarray(lengths, jnp.int32),
     )
@@ -195,10 +198,25 @@ def _pick_engine(engine: str) -> str:
     return "native" if native.available() else "tpu"
 
 
-def compress(data, engine: str = "auto") -> bytes:
+def compress(data, engine: str = "auto", level: str = "fast") -> bytes:
     """Compress a buffer in the Snappy block format.
-    Parity: ``Snappy.CompressToArray`` (Snappy.cs:123)."""
-    engine = _pick_engine(engine)
+    Parity: ``Snappy.CompressToArray`` (Snappy.cs:123).
+
+    ``level`` goes beyond the reference (which has one mode):
+    ``"fast"`` is the greedy lossy-table encoder (the reference's
+    algorithm class); ``"best"`` routes to the parallel-scan engine's
+    exact rank-doubling match finder — denser matches than any
+    hash-table greedy pass (ratio 0.191 vs 0.222 on html), at
+    sort-pipeline cost. ``"best"`` is a device-engine feature; explicit
+    host engines raise."""
+    if level not in ("fast", "best"):
+        raise ValueError(f"unknown level {level!r}")
+    if level == "best":
+        if engine not in ("auto", "tpu"):
+            raise ValueError("level='best' requires the device engine")
+        engine = "tpu"
+    else:
+        engine = _pick_engine(engine)
     if engine == "native":
         from snappier_tpu.runtime import native
 
@@ -216,7 +234,9 @@ def compress(data, engine: str = "auto") -> bytes:
         frag = arr[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE]
         frags[i, : len(frag)] = frag
         lengths[i] = len(frag)
-    bodies, body_lens = compress_fragments(frags, lengths)
+    bodies, body_lens = compress_fragments(
+        frags, lengths, kernel="scan" if level == "best" else None
+    )
     bodies = np.asarray(bodies)
     body_lens = np.asarray(body_lens)
     check_body_lens(bodies.shape[1], body_lens)

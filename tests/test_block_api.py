@@ -199,3 +199,25 @@ def test_tunables_plumbed_through_batch_api():
         assert oracle.decompress(comp) == data, (hb, sb)
         sizes[(hb, sb)] = len(comp)
     assert len(sizes) == 3
+
+
+def test_compress_level_best_beats_greedy_ratio():
+    """level='best' routes to the exact rank-doubling match finder —
+    never worse than the reference-style greedy oracle, and bit-exact
+    on round trip (framework extension; the reference has one mode)."""
+    import pytest
+
+    from snappier_tpu.format import oracle
+    from snappier_tpu.runtime import block
+
+    data = bytes(
+        (b"the quick brown fox jumps over the lazy dog. " * 400)[:12000]
+    )
+    best = block.compress(data, level="best")
+    assert block.decompress(best, engine="oracle") == data
+    assert oracle.decompress(best) == data
+    assert len(best) <= len(oracle.compress(data))
+    with pytest.raises(ValueError):
+        block.compress(data, engine="native", level="best")
+    with pytest.raises(ValueError):
+        block.compress(data, level="bogus")
