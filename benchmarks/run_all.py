@@ -140,6 +140,7 @@ def main() -> None:
         fuzz_host = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(fuzz_host)
         fuzz_host.run_native(20000, 301)
+        fuzz_host.run_stream(2000, 301)
         fuzz_host.run_scan(2000, 301)
 
 

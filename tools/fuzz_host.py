@@ -105,11 +105,73 @@ def run_scan(iters: int, seed: int) -> None:
     )
 
 
+def run_stream(iters: int, seed: int) -> None:
+    """Differential fuzz of the C++ framing pipeline against the Python
+    chunk state machine: round trips both ways, plus mutated framed
+    streams where both sides must agree on accept/reject (and on bytes
+    when both accept)."""
+    from snappier_tpu.errors import InvalidDataError
+    from snappier_tpu.runtime import native
+    from snappier_tpu.runtime import stream as pstream
+
+    if not native.available():
+        print("native engine unavailable — skipping stream campaign")
+        return
+    rng = np.random.default_rng(seed)
+    t0 = time.time()
+    nbytes = 0
+    for i in range(iters):
+        data = gen_block(rng, size_for(rng, i))
+        nbytes += len(data)
+        nf = native.stream_compress(data)
+        assert native.stream_decompress(nf) == data, f"native stream @ {i}"
+        pf = pstream.stream_compress(data, engine="oracle")
+        assert native.stream_decompress(pf) == data, f"py->native @ {i}"
+        if i % 20 == 0:
+            assert pstream.stream_decompress(nf, engine="oracle") == data, (
+                f"native->py @ {i}"
+            )
+        # Mutated stream: both sides must agree.
+        mut = bytearray(nf)
+        kind = int(rng.integers(0, 3))
+        if kind == 0 and mut:
+            for _ in range(int(rng.integers(1, 6))):
+                mut[int(rng.integers(0, len(mut)))] ^= 1 << int(
+                    rng.integers(0, 8)
+                )
+        elif kind == 1:
+            mut = mut[: int(rng.integers(0, len(mut) + 1))]
+        else:
+            mut = bytearray(
+                rng.integers(0, 256, int(rng.integers(0, 400)), np.uint8)
+            )
+        mb = bytes(mut)
+        try:
+            nout = native.stream_decompress(mb)
+            n_ok = True
+        except InvalidDataError:
+            n_ok = False
+        try:
+            pout = pstream.stream_decompress(mb, engine="oracle")
+            p_ok = True
+        except InvalidDataError:
+            p_ok = False
+        assert n_ok == p_ok, f"verdict mismatch @ {i}: {n_ok} vs {p_ok}"
+        if n_ok:
+            assert nout == pout, f"accepted-bytes mismatch @ {i}"
+    dt = time.time() - t0
+    print(
+        f"stream campaign: {iters} iters, {nbytes/1e6:.1f} MB, "
+        f"{dt:.1f}s — all exact"
+    )
+
+
 def main() -> None:
     native_iters = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
     scan_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
     seed = int(sys.argv[3]) if len(sys.argv) > 3 else 301
     run_native(native_iters, seed)
+    run_stream(max(native_iters // 10, 100), seed)
     run_scan(scan_iters, seed)
 
 
