@@ -15,6 +15,8 @@ import pathlib
 import subprocess
 import threading
 
+import numpy as np
+
 from snappier_tpu.errors import BufferTooSmallError, InvalidDataError
 
 _NATIVE_DIR = pathlib.Path(__file__).resolve().parent.parent.parent / "native"
@@ -118,6 +120,14 @@ def load():
         return _lib
 
 
+def _out_buffer(cap: int):
+    """Uninitialized output buffer + ctypes view (a zero-initialized
+    `(c_uint8 * cap)()` costs more than the codec work for small
+    calls)."""
+    arr = np.empty(cap, np.uint8)
+    return arr, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
 def available() -> bool:
     return load() is not None
 
@@ -128,12 +138,12 @@ def compress(data: bytes) -> bytes:
         raise RuntimeError("native runtime unavailable")
     data = bytes(data)
     cap = lib.stpu_max_compressed_length(len(data))
-    out = (ctypes.c_uint8 * cap)()
+    arr, out = _out_buffer(cap)
     out_len = ctypes.c_size_t()
     rc = lib.stpu_compress(data, len(data), out, cap, ctypes.byref(out_len))
     if rc != _OK:
         raise InvalidDataError(f"native compress failed rc={rc}")
-    return ctypes.string_at(out, out_len.value)
+    return arr[: out_len.value].tobytes()
 
 
 def decompress(data: bytes) -> bytes:
@@ -150,7 +160,7 @@ def decompress(data: bytes) -> bytes:
         raise InvalidDataError("length preamble exceeds possible expansion")
     # +64 slack: the native decoder's wide copies spill past the
     # logical end (see snappy_core.cpp stpu_decompress contract).
-    out = (ctypes.c_uint8 * (expected + 64))()
+    arr, out = _out_buffer(expected + 64)
     out_len = ctypes.c_size_t()
     rc = lib.stpu_decompress(
         data, len(data), out, expected + 64, ctypes.byref(out_len)
@@ -159,7 +169,7 @@ def decompress(data: bytes) -> bytes:
         raise InvalidDataError("malformed snappy block data")
     if rc == _TOO_SMALL:
         raise BufferTooSmallError("output buffer too small")
-    return ctypes.string_at(out, out_len.value)
+    return arr[: out_len.value].tobytes()
 
 
 def scan_fragments(data: bytes):
@@ -224,14 +234,14 @@ def stream_compress(data: bytes) -> bytes:
         raise RuntimeError("native runtime unavailable")
     data = bytes(data)
     cap = lib.stpu_stream_max_compressed_length(len(data))
-    out = (ctypes.c_uint8 * cap)()
+    arr, out = _out_buffer(cap)
     out_len = ctypes.c_size_t()
     rc = lib.stpu_stream_compress(
         data, len(data), out, cap, ctypes.byref(out_len)
     )
     if rc != _OK:
         raise InvalidDataError(f"native stream compress failed rc={rc}")
-    return ctypes.string_at(out, out_len.value)
+    return arr[: out_len.value].tobytes()
 
 
 def stream_decompress(data: bytes) -> bytes:
@@ -246,7 +256,7 @@ def stream_decompress(data: bytes) -> bytes:
     )
     if rc != _OK:
         raise InvalidDataError("malformed framed stream")
-    out = (ctypes.c_uint8 * (total.value + 64))()  # sloppy-copy slack
+    arr, out = _out_buffer(total.value + 64)  # sloppy-copy slack
     out_len = ctypes.c_size_t()
     rc = lib.stpu_stream_decompress(
         data, len(data), out, total.value + 64, ctypes.byref(out_len)
@@ -255,4 +265,4 @@ def stream_decompress(data: bytes) -> bytes:
         raise InvalidDataError("corrupt framed stream")
     if rc != _OK:
         raise InvalidDataError(f"native stream decompress failed rc={rc}")
-    return ctypes.string_at(out, out_len.value)
+    return arr[: out_len.value].tobytes()
