@@ -203,15 +203,27 @@ def _decode_kernel(words_ref, lut_ref, lens_ref, out_ref,
 
             @pl.when(nw > 2)
             def _():
-                def cp(k, carry):
-                    w = w0 + 3 + 2 * k
-                    m1 = sw(w + rw + 1)
-                    ow_smem[w] = funnel(carry, m1, a8, hs, hm)
-                    m2 = sw(w + rw + 2)
-                    ow_smem[w + 1] = funnel(m1, m2, a8, hs, hm)
-                    return m2
+                # Second unrolled pair covers nw <= 4 (tags to ~17
+                # bytes) before falling into the fori: entering a
+                # data-dependent inner loop costs ~20 ns (cliff probe,
+                # docs/ROADMAP.md) so it is reserved for long copies.
+                n4 = sw(base + 4)
+                ow_smem[w0 + 3] = funnel(n3, n4, a8, hs, hm)
+                n5 = sw(base + 5)
+                ow_smem[w0 + 4] = funnel(n4, n5, a8, hs, hm)
 
-                jax.lax.fori_loop(0, (nw - 1) >> 1, cp, n3, unroll=False)
+                @pl.when(nw > 4)
+                def _():
+                    def cp(k, carry):
+                        w = w0 + 5 + 2 * k
+                        m1 = sw(w + rw + 1)
+                        ow_smem[w] = funnel(carry, m1, a8, hs, hm)
+                        m2 = sw(w + rw + 2)
+                        ow_smem[w + 1] = funnel(m1, m2, a8, hs, hm)
+                        return m2
+
+                    jax.lax.fori_loop(0, (nw - 3) >> 1, cp, n5,
+                                      unroll=False)
 
     def append_bytes(spos, op, K):
         """Byte-serial append via read-modify-write (off < 8 prefix)."""
