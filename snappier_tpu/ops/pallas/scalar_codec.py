@@ -488,7 +488,17 @@ def _encode_kernel(keys_ref, hashes_ref, lens_ref, out_ref, outlen_ref,
                 out_smem[base + u] = key_smem[sb + u] & 0xFF
             return 0
 
-        jax.lax.fori_loop(0, chunks, cp, 0, unroll=False)
+        # Entering a data-dependent fori costs ~20 ns (cliff probe,
+        # docs/ROADMAP.md); most html literals are <= 8 bytes, so the
+        # single-chunk case runs the unrolled body straight-line.
+        @pl.when(chunks == 1)
+        def _():
+            cp(0, 0)
+
+        @pl.when(chunks > 1)
+        def _():
+            jax.lax.fori_loop(0, chunks, cp, 0, unroll=False)
+
         return op + llen
 
     def emit_literal_checked(op, lit_start, lit_end):
