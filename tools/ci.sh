@@ -1,0 +1,18 @@
+#!/bin/sh
+# Recurring-check entry point (the reference's CI matrix analog,
+# .github/workflows/main.yml): hermetic tests on the virtual 8-device
+# CPU mesh, the multichip dryrun, and the randomized fuzz campaigns.
+# On a machine with the TPU attached, add: python tools/fuzz_tpu.py
+set -e
+cd "$(dirname "$0")/.."
+
+python -m pytest tests/ -q
+
+XLA_FLAGS=--xla_force_host_platform_device_count=8 python - <<'EOF'
+import jax
+jax.config.update("jax_platforms", "cpu")
+from __graft_entry__ import dryrun_multichip
+dryrun_multichip(8)
+EOF
+
+python benchmarks/run_all.py --quick --fuzz
