@@ -186,8 +186,94 @@ def config3_native(size_mb: int = 100) -> None:
     )
 
 
+CORPUS = [
+    "alice29.txt", "asyoulik.txt", "fireworks.jpeg", "geo.protodata",
+    "html", "html_x_4", "kppkn.gtb", "lcet10.txt", "paper-100k.pdf",
+    "plrabn12.txt", "urls.10K",
+]
+
+
+def config1() -> None:
+    """Single 64 KiB block, one-shot call latency (dispatch-bound on
+    the device; the native engine is the intended latency path)."""
+    _setup_jax()
+    from snappier_tpu.runtime import block
+
+    html64 = _html()[: 64 * 1024]
+    out = {}
+    for eng in ("tpu", "native"):
+        comp = block.compress(html64, engine=eng)
+        assert block.decompress(comp, engine=eng) == html64
+        tc = td = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            block.compress(html64, engine=eng)
+            tc = min(tc, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            block.decompress(comp, engine=eng)
+            td = min(td, time.perf_counter() - t0)
+        out[eng] = (
+            round(len(html64) / tc / 1e6, 1),
+            round(len(html64) / td / 1e6, 1),
+        )
+    print(
+        json.dumps(
+            {
+                "config": "1: single 64 KiB block one-shot (MB/s c/d)",
+                "tpu": out["tpu"],
+                "native": out["native"],
+            }
+        ),
+        flush=True,
+    )
+
+
+def config2() -> None:
+    """Full-corpus block API on the device engine: host bytes -> host
+    bytes through compress/decompress for all 11 canonical files
+    (includes fragment assembly and the host<->device transfers)."""
+    _setup_jax()
+    from snappier_tpu.runtime import block
+
+    base = pathlib.Path("/root/reference/Snappier.Tests/TestData")
+    files = [
+        (base / n).read_bytes() for n in CORPUS if (base / n).exists()
+    ]
+    comps = [block.compress(d, engine="tpu") for d in files]
+    for d, c in zip(files, comps):
+        assert block.decompress(c, engine="tpu") == d
+    total = sum(len(d) for d in files)
+    tc = td = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        comps = [block.compress(d, engine="tpu") for d in files]
+        tc = min(tc, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        outs = [block.decompress(c, engine="tpu") for c in comps]
+        td = min(td, time.perf_counter() - t0)
+    assert all(o == d for o, d in zip(outs, files))
+    print(
+        json.dumps(
+            {
+                "config": "2: full-corpus block API, device engine",
+                "files": len(files),
+                "total_MB": round(total / 1e6, 1),
+                "compress_MBps": round(total / tc / 1e6, 1),
+                "decompress_MBps": round(total / td / 1e6, 1),
+                "ratio": round(sum(len(c) for c in comps) / total, 4),
+            }
+        ),
+        flush=True,
+    )
+
+
 def main() -> None:
-    which = sys.argv[1:] or ["config3", "config3n", "config4"]
+    which = sys.argv[1:] or ["config1", "config2", "config3", "config3n",
+                             "config4"]
+    if "config1" in which:
+        config1()
+    if "config2" in which:
+        config2()
     if "config3" in which:
         config3()
     if "config3n" in which:
