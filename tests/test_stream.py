@@ -9,6 +9,7 @@ import snappier_tpu as st
 from snappier_tpu.constants import STREAM_HEADER
 from snappier_tpu.errors import InvalidDataError
 from snappier_tpu.format import framing
+from tests.conftest import load_corpus_file
 from snappier_tpu.runtime.stream import (
     SnappyReader,
     SnappyWriter,
@@ -202,3 +203,61 @@ def test_oversized_compressed_payload_is_spec_legal():
         + payload
     )
     assert st.stream_decompress(framed) == chunk
+
+
+def test_reader_tiny_transfer_over_native_framing():
+    """SnappyReader (Python incremental machine, 7-byte transfer reads)
+    over a stream produced by the C++ pipeline: cross-implementation
+    framing compatibility at pathological feed granularity."""
+    import io
+
+    import pytest
+
+    from snappier_tpu.runtime import native
+    from snappier_tpu.runtime.stream import SnappyReader
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    data = load_corpus_file("asyoulik.txt")
+    framed = native.stream_compress(data)
+    r = SnappyReader(io.BytesIO(framed), transfer_size=7, engine="oracle")
+    out = bytearray()
+    while True:
+        piece = r.read(1000)
+        if not piece:
+            break
+        out += piece
+    assert bytes(out) == data
+
+
+def test_skippable_chunks_through_both_framing_engines():
+    """Spec: chunk types 0x80..0xfd and padding 0xfe must be skipped by
+    every decoder (SnappyStreamDecompressor.cs:180-199)."""
+    import pytest
+
+    from snappier_tpu.format.framing import write_chunk_header
+    from snappier_tpu.runtime import native
+    from snappier_tpu.runtime.stream import stream_compress, stream_decompress
+
+    data = b"skippable chunk test " * 400
+    framed = bytearray(stream_compress(data, engine="oracle"))
+    # Insert a skippable chunk and a padding chunk after the header.
+    extra = (
+        write_chunk_header(0x85, 3) + b"xyz"
+        + write_chunk_header(0xFE, 5) + bytes(5)
+    )
+    framed[10:10] = extra
+    framed = bytes(framed)
+    assert stream_decompress(framed, engine="oracle") == data
+    if native.available():
+        assert native.stream_decompress(framed) == data
+    # An unknown UNSKIPPABLE type must be rejected by both.
+    bad = bytearray(framed)
+    bad[10] = 0x7F
+    from snappier_tpu.errors import InvalidDataError
+
+    with pytest.raises(InvalidDataError):
+        stream_decompress(bytes(bad), engine="oracle")
+    if native.available():
+        with pytest.raises(InvalidDataError):
+            native.stream_decompress(bytes(bad))
