@@ -214,15 +214,23 @@ def _decode_kernel(words_ref, lut_ref, lens_ref, out_ref,
 
                 @pl.when(nw > 4)
                 def _():
+                    # 4 words per iteration: giant literals
+                    # (incompressible blocks) run thousands of
+                    # iterations, so the loop-share per byte matters
+                    # more than the <= 3-word over-store.
                     def cp(k, carry):
-                        w = w0 + 5 + 2 * k
+                        w = w0 + 5 + 4 * k
                         m1 = sw(w + rw + 1)
                         ow_smem[w] = funnel(carry, m1, a8, hs, hm)
                         m2 = sw(w + rw + 2)
                         ow_smem[w + 1] = funnel(m1, m2, a8, hs, hm)
-                        return m2
+                        m3 = sw(w + rw + 3)
+                        ow_smem[w + 2] = funnel(m2, m3, a8, hs, hm)
+                        m4 = sw(w + rw + 4)
+                        ow_smem[w + 3] = funnel(m3, m4, a8, hs, hm)
+                        return m4
 
-                    jax.lax.fori_loop(0, (nw - 3) >> 1, cp, n5,
+                    jax.lax.fori_loop(0, (nw - 1) >> 2, cp, n5,
                                       unroll=False)
 
     def append_bytes(spos, op, K):
