@@ -49,7 +49,7 @@ class SnappyCodec:
         fragment_size: int = BLOCK_SIZE,
         with_crc: bool = True,
         kernel: str | None = None,
-        hash_bits: int = 14,
+        hash_bits: int = 15,
         skip_base: int = 32,
     ):
         assert fragment_size <= BLOCK_SIZE

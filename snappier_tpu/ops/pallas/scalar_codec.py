@@ -419,7 +419,11 @@ def decode_blocks_scalar(
 # Encoder
 # ---------------------------------------------------------------------------
 
-_HASH_BITS = 14
+#: 15 bits (32K entries, 128 KiB SMEM): A/B on chip vs 14 was
+#: time-neutral with ratio 0.2202 -> 0.2192 on html; 16 bits would
+#: push the kernel past the 1 MiB SMEM budget. (The reference caps at
+#: 14, HashTable.cs:14-18 — its tables live in L1/L2.)
+_HASH_BITS = 15
 _HASH_MUL = 0x1E35A7BD  # HashTable.cs magic-multiply form
 
 
@@ -697,8 +701,9 @@ def encode_blocks_scalar(
       frags: int32[B, F] byte values (F <= BLOCK_SIZE, multiple of 128).
       lengths: int32[B].
       hash_bits: match-table size log2 (reference tunable, HashTable.cs
-        :14-18 sizes 8..14; 14 A/B-measured best on the corpus — 13/12
-        were time-neutral with worse ratio).
+        :14-18 sizes 8..14; here 15 measured best — time-neutral with
+        better ratio than 14, while 13/12 were time-neutral with worse
+        ratio and 16 exceeds SMEM).
       skip_base: skip-heuristic start constant (SnappyCompressor.cs:227
         uses 32; the scan stride grows as ``skip >> 5``).
 

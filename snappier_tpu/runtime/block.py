@@ -72,7 +72,7 @@ def _device_kernel() -> str:
 
 @functools.cache
 def _encode_batch_fn(
-    hash_bits: int = 14, skip_base: int = 32, kernel: str | None = None
+    hash_bits: int = 15, skip_base: int = 32, kernel: str | None = None
 ):
     if (kernel or _device_kernel()) == "scalar":
         from snappier_tpu.ops.pallas.scalar_codec import encode_blocks_scalar
@@ -131,7 +131,7 @@ def _raise_for_err(err: int) -> None:
 def compress_fragments(
     frags: np.ndarray,
     lengths: np.ndarray,
-    hash_bits: int = 14,
+    hash_bits: int = 15,
     skip_base: int = 32,
     kernel: str | None = None,
 ):
