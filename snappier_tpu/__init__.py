@@ -32,7 +32,15 @@ from snappier_tpu.runtime.block import (  # noqa: F401
     try_decompress,
 )
 
-__version__ = "0.1.0"
+from snappier_tpu.runtime.stream import (  # noqa: F401
+    AsyncSnappyReader,
+    AsyncSnappyWriter,
+    SnappyReader,
+    SnappyStream,
+    SnappyWriter,
+)
+
+__version__ = "0.2.0"
 
 
 def stream_compress(data: bytes, **kw) -> bytes:
