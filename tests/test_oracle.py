@@ -133,3 +133,93 @@ def test_fuzz_roundtrip():
             pos += run
         data = out.tobytes()
         assert oracle.decompress(oracle.compress(data)) == data
+
+
+def _parse_tags(comp: bytes):
+    """Walk a compressed block's tag stream -> [(kind, length, offset)]."""
+    from snappier_tpu.format.varint import read_varint
+
+    body = np.frombuffer(comp, np.uint8)
+    _, pos = read_varint(body)
+    out = []
+    while pos < len(comp):
+        t = comp[pos]
+        tt = t & 3
+        l6 = t >> 2
+        if tt == 0:
+            if l6 < 60:
+                ln, hdr = l6 + 1, 1
+            else:
+                e = l6 - 59
+                ln = int.from_bytes(comp[pos + 1 : pos + 1 + e], "little") + 1
+                hdr = 1 + e
+            out.append(("lit", ln, 0))
+            pos += hdr + ln
+        elif tt == 1:
+            out.append(("copy", ((t >> 2) & 7) + 4,
+                        ((t >> 5) << 8) | comp[pos + 1]))
+            pos += 2
+        elif tt == 2:
+            out.append(("copy", l6 + 1,
+                        int.from_bytes(comp[pos + 1 : pos + 3], "little")))
+            pos += 3
+        else:
+            out.append(("copy", l6 + 1,
+                        int.from_bytes(comp[pos + 1 : pos + 5], "little")))
+            pos += 5
+    return out
+
+
+def test_match_length_contract_across_engines():
+    """FindMatchLength parity (SnappyCompressorTests.cs:10-96 analog,
+    cases generated rather than ported): for data = s1 + s2 where
+    lcp(s1, s2) = k exactly, a greedy encoder must emit a copy of
+    length exactly k at offset len(s1) when k >= 4, and no copy at all
+    when k < 4."""
+    from snappier_tpu.format import oracle
+    from snappier_tpu.runtime import block, native
+
+    rng = np.random.default_rng(20260817)
+    base = rng.integers(0, 256, 400, np.uint8).tobytes()
+    # No accidental matches anywhere: every 4-byte window is unique.
+    wins = {base[i : i + 4] for i in range(len(base) - 3)}
+    assert len(wins) == len(base) - 3
+
+    def engines():
+        # exact=True: exact match finders (dict last-occurrence / rank
+        # doubling) must find the match at its exact start. Lossy-table
+        # engines may miss the start by a few positions on a hash
+        # collision (HashTable.cs is lossy by design) — their contract
+        # is a copy at the same offset covering nearly all of the match.
+        yield "oracle", lambda d: oracle.compress(d), False  # skip heuristic
+        if native.available():
+            yield "native", native.compress, False
+        yield "scan", lambda d: block.compress(d, level="best"), True
+
+    for k in (0, 1, 2, 3, 4, 5, 7, 8, 11, 15, 16, 31, 32, 47, 63):
+        n1 = max(k + 1, 8)
+        s1 = base[:n1]
+        # s2 = k shared bytes, then a tail disjoint from s1 (so the
+        # ONLY possible match is the length-k prefix match).
+        # Force the first mismatch byte (a random tail byte could
+        # coincide with s1[k] and extend the match).
+        s2 = s1[:k] + bytes([s1[k] ^ 0x55]) + base[101 : 100 + (n1 - k)]
+        # Distinct tail keeps the input long enough to engage the scan
+        # loop (InputMarginBytes=15 stops probing near the end,
+        # Constants.cs:27) without adding any other match.
+        data = s1 + s2 + base[220:320]
+        for name, comp_fn, exact in engines():
+            comp = bytes(comp_fn(data))
+            assert oracle.decompress(comp) == data, (name, k)
+            tags = _parse_tags(comp)
+            copies = [t for t in tags if t[0] == "copy"]
+            if k < 4:
+                assert not copies, (name, k, tags)
+            else:
+                assert len(copies) == 1, (name, k, tags)
+                kind, ln, off = copies[0]
+                assert off == n1, (name, k, tags)
+                if exact:
+                    assert ln == k, (name, k, tags)
+                else:
+                    assert k - 8 <= ln <= k, (name, k, tags)
