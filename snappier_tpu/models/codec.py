@@ -128,6 +128,90 @@ class SnappyCodec:
         )
 
     @functools.cached_property
+    def frame_batch(self):
+        """jit[B, F], [B] -> (framed uint8 [B, 8 + 3 + F + 2048],
+        framed_lens [B]): the ENTIRE framing data-chunk pipeline on
+        device — encode, CRC32C + masking, varint preamble, chunk
+        header, and the uncompressed fallback
+        (SnappyStreamCompressor.cs:166-261) — leaving the host only the
+        ragged concatenation of rows. Rows with length 0 are emitted
+        with framed_len 0 (batch padding; callers skip them)."""
+
+        F = self.fragment_size
+        PC = 3 + F + 2048  # varint(<=3 for F<=64Ki) + emission bound
+
+        def fn(frags, lengths):
+            frags = frags.astype(jnp.int32)
+            lengths = lengths.astype(jnp.int32)
+            B = frags.shape[0]
+            bodies, body_lens, crcs = self.compress_batch(frags, lengths)
+
+            # Masked CRC32C (Crc32CAlgorithm.cs:157) in uint32 space.
+            c = jax.lax.bitcast_convert_type(crcs, jnp.uint32)
+            masked = jax.lax.bitcast_convert_type(
+                ((c >> 15) | (c << 17)) + jnp.uint32(0xA282EAD8), jnp.int32
+            )
+
+            # Varint preamble: lengths <= 65536 -> 1..3 bytes. Build the
+            # three statically-shifted payload images and select per row
+            # (a per-row dynamic roll would gather; selects fuse).
+            pre_len = jnp.where(
+                lengths < 128, 1, jnp.where(lengths < 16384, 2, 3)
+            )
+            b0 = jnp.where(
+                pre_len == 1, lengths & 0x7F, (lengths & 0x7F) | 0x80
+            )
+            b1 = jnp.where(
+                pre_len == 2,
+                (lengths >> 7) & 0x7F,
+                ((lengths >> 7) & 0x7F) | 0x80,
+            )
+            b2 = (lengths >> 14) & 0x7F
+
+            def shifted(k):  # bodies shifted right by k preamble bytes
+                pre = jnp.stack([b0, b1, b2][:k], axis=1)
+                pad = jnp.zeros((B, PC - k - bodies.shape[1]), jnp.int32)
+                return jnp.concatenate([pre, bodies, pad], axis=1)
+
+            comp_img = jnp.where(
+                (pre_len == 1)[:, None],
+                shifted(1),
+                jnp.where((pre_len == 2)[:, None], shifted(2), shifted(3)),
+            )
+            comp_len = pre_len + body_lens
+
+            # Incompressibility fallback (SnappyStreamCompressor.cs
+            # :213-229): raw bytes when compression did not shrink.
+            fallback = comp_len >= lengths
+            raw_img = jnp.concatenate(
+                [frags, jnp.zeros((B, PC - F), jnp.int32)], axis=1
+            )
+            payload = jnp.where(fallback[:, None], raw_img, comp_img)
+            payload_len = jnp.where(fallback, lengths, comp_len)
+
+            # Chunk header: type byte + 3-byte LE length (of CRC+payload).
+            ctype = jnp.where(fallback, 1, 0)
+            clen = payload_len + 4
+            hdr = jnp.stack(
+                [ctype, clen & 0xFF, (clen >> 8) & 0xFF, (clen >> 16) & 0xFF],
+                axis=1,
+            )
+            crc_bytes = jnp.stack(
+                [
+                    masked & 0xFF,
+                    (masked >> 8) & 0xFF,
+                    (masked >> 16) & 0xFF,
+                    (masked >> 24) & 0xFF,
+                ],
+                axis=1,
+            )
+            framed = jnp.concatenate([hdr, crc_bytes, payload], axis=1)
+            framed_len = jnp.where(lengths > 0, 8 + payload_len, 0)
+            return framed.astype(jnp.uint8), framed_len
+
+        return jax.jit(fn)
+
+    @functools.cached_property
     def roundtrip_step(self):
         """Compress + decompress + bit-exact check, one jitted graph."""
 

@@ -46,7 +46,7 @@ from snappier_tpu.constants import (
 from snappier_tpu.errors import InvalidDataError, InvalidOperationError
 from snappier_tpu.format.crc32c import crc32c, mask_crc, unmask_crc
 from snappier_tpu.format.framing import write_chunk_header
-from snappier_tpu.format.varint import read_varint, write_varint
+from snappier_tpu.format.varint import read_varint
 from snappier_tpu.runtime import block as block_rt
 from snappier_tpu.utils.pool import default_pool
 
@@ -65,6 +65,20 @@ DEFAULT_TRANSFER_SIZE = 8192
 
 def _pow2_batch(b: int) -> int:
     return 1 << max(0, (max(b, 1) - 1)).bit_length()
+
+
+def _stream_codec():
+    """Module-level batched codec for the framing hot paths (cached so
+    its jitted graphs compile once per process)."""
+    global _CODEC
+    if _CODEC is None:
+        from snappier_tpu.models.codec import SnappyCodec
+
+        _CODEC = SnappyCodec(with_crc=True)
+    return _CODEC
+
+
+_CODEC = None
 
 
 def _native_available() -> bool:
@@ -125,6 +139,10 @@ def _compress_chunks_batched(
             checksum = mask_crc(crc_fn(c)).to_bytes(4, "little")
             out.append(_frame_data_chunk(c, eng.compress(c), checksum))
         return out
+    # Device path: the whole data-chunk pipeline (encode, CRC32C +
+    # masking, varint, chunk header, uncompressed fallback) runs in one
+    # jitted graph (SnappyCodec.frame_batch); the host only slices the
+    # ragged framed rows.
     bsz = _pow2_batch(len(chunks))
     frags = default_pool.rent((bsz, BLOCK_SIZE), np.uint8)
     lengths = np.zeros(bsz, np.int32)
@@ -132,20 +150,19 @@ def _compress_chunks_batched(
         a = np.frombuffer(c, np.uint8)
         frags[i, : len(a)] = a
         lengths[i] = len(a)
-    bodies, body_lens = block_rt.compress_fragments(frags, lengths)
+    framed, framed_lens = _stream_codec().frame_batch(frags, lengths)
     default_pool.giveback(frags)
-    bodies = np.asarray(bodies)
-    body_lens = np.asarray(body_lens)
-    block_rt.check_body_lens(bodies.shape[1], body_lens)
-    out = []
-    crc_fn = _host_crc_fn()
-    for i, c in enumerate(chunks):
-        checksum = mask_crc(crc_fn(c)).to_bytes(4, "little")
-        comp = write_varint(len(c)) + bodies[i, : int(body_lens[i])].astype(
-            np.uint8
-        ).tobytes()
-        out.append(_frame_data_chunk(c, comp, checksum))
-    return out
+    framed = np.asarray(framed)
+    framed_lens = np.asarray(framed_lens)
+    if len(chunks) and int(framed_lens[: len(chunks)].max()) > framed.shape[1]:
+        raise RuntimeError(
+            "framed chunk exceeds its slot — emission bound violated "
+            "(kernel bug)"
+        )
+    return [
+        framed[i, : int(framed_lens[i])].tobytes()
+        for i in range(len(chunks))
+    ]
 
 
 def _device_crc_active() -> bool:

@@ -31,3 +31,20 @@ def test_buffer_pool_is_wired_into_streaming():
     out = stream_decompress(stream_compress(data, engine="tpu"), engine="tpu")
     assert out == data
     assert any(default_pool._buffers.values())
+
+
+def test_throughput_and_device_trace():
+    import pathlib
+    import tempfile
+
+    from snappier_tpu.utils.profiling import Throughput, device_trace
+
+    with Throughput(1_000_000) as t:
+        sum(range(1000))
+    assert t.seconds > 0 and t.gbps > 0
+    with tempfile.TemporaryDirectory() as d:
+        with device_trace(d):
+            import jax.numpy as jnp
+
+            (jnp.arange(8) * 2).sum().block_until_ready()
+        assert any(pathlib.Path(d).rglob("*"))  # trace artifacts written
