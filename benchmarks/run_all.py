@@ -11,8 +11,9 @@ Usage:
 (tools/fuzz_host.py: 20,000 native + 2,000 scan-kernel iterations in
 the SnappyTests.cs:401-446 generator shape) — the recurring-check
 wiring for the fuzz suite. Kernel-level micro-benchmarks
-(FindMatchLength/IncrementalCopy analogs) live in tools/perf_probe.py
-and tools/perf_probe_enc.py and run on the real chip.
+(FindMatchLength/GetHashTable/IncrementalCopy/UnalignedCopy analogs)
+live in benchmarks/micros_tpu.py (plus the ablation probes in
+tools/perf_probe*.py) and run on the real chip.
 
 Prints a markdown table; unlike bench.py (the driver's one-line JSON
 contract) this is the human-facing harness.
