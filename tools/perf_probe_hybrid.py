@@ -400,6 +400,8 @@ def main():
                 v7(False)
             elif p == "v7u":
                 v7(True)
+            elif p == "bitonic":
+                bitonic()
         except Exception as e:  # noqa: BLE001
             print(f"{p}: FAILED {type(e).__name__}: {str(e)[:500]}",
                   flush=True)
@@ -1711,6 +1713,101 @@ def cliff(mode):
     ntags = len(recs)
     print(
         f"cliff[{mode}]: {t/R/ntags*1e9:.1f} ns/tag",
+        flush=True,
+    )
+
+
+
+# --- bitonic: in-kernel 64K sort probe (round-3 #3 derisk) -----------------
+
+
+def _bitonic_kernel(x_ref, out_ref, keys, vals):
+    keys[...] = x_ref[...]
+    vals[...] = jax.lax.broadcasted_iota(jnp.int32, (512, 128), 0) * 128 + \
+        jax.lax.broadcasted_iota(jnp.int32, (512, 128), 1)
+    # flat index of element (r, c) = r * 128 + c; bitonic network over
+    # 65536 elements. Strides >= 128 permute rows (static slicing);
+    # strides < 128 permute lanes via reshape butterflies.
+    flat_r = jax.lax.broadcasted_iota(jnp.int32, (512, 128), 0)
+    flat_c = jax.lax.broadcasted_iota(jnp.int32, (512, 128), 1)
+    idx = flat_r * 128 + flat_c
+
+    def stage(k, j):
+        # compare-exchange partner = idx ^ j; ascending iff bit k+1 of
+        # idx is 0 (standard bitonic for n = power of two).
+        K = keys[...]
+        V = vals[...]
+        def swap2(A, axis, shape):
+            Ap = A.reshape(shape)
+            lo = jax.lax.slice_in_dim(Ap, 0, 1, axis=axis)
+            hi = jax.lax.slice_in_dim(Ap, 1, 2, axis=axis)
+            return jnp.concatenate([hi, lo], axis=axis).reshape(512, 128)
+
+        if j >= 128:
+            rj = j // 128
+            shp = (512 // (2 * rj), 2, rj, 128)
+            Kq = swap2(K, 1, shp)
+            Vq = swap2(V, 1, shp)
+        else:
+            shp = (512, 128 // (2 * j), 2, j)
+            Kq = swap2(K, 2, shp)
+            Vq = swap2(V, 2, shp)
+        up = ((idx >> (k + 1)) & 1) == 0
+        is_lo = (idx & j) == 0
+        keep = jnp.where(
+            up == is_lo,
+            jnp.minimum(K, Kq) == K,
+            jnp.maximum(K, Kq) == K,
+        )
+        # tie-break via vals for stability-ish behavior (not required)
+        keys[...] = jnp.where(keep, K, Kq)
+        vals[...] = jnp.where(keep, V, Vq)
+
+    # One full merge pass (16 stages) — the complete 136-stage network
+    # crashes this environment's remote compiler; per-stage cost
+    # extrapolates (network = 136 stages).
+    for jj in range(15, -1, -1):
+        stage(15, 1 << jj)
+    out_ref[...] = keys[...]
+
+
+def bitonic():
+    rng = np.random.default_rng(5)
+    x = rng.integers(-(2**31), 2**31 - 1, (512, 128), np.int64).astype(
+        np.int32
+    )
+
+    @jax.jit
+    def run(xd):
+        return pl.pallas_call(
+            _bitonic_kernel,
+            out_shape=jax.ShapeDtypeStruct((512, 128), jnp.int32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((512, 128), jnp.int32),
+                pltpu.VMEM((512, 128), jnp.int32),
+            ],
+        )(xd)
+
+    xd = jax.device_put(jnp.asarray(x))
+    out = np.asarray(run(xd)).reshape(-1)
+    ok = True  # single merge pass: not a full sort; timing only
+    t = timeit(lambda: run(xd))
+
+    @jax.jit
+    def xla_sort(xd):
+        f = xd.reshape(-1)
+        return jax.lax.sort(
+            (f, jnp.arange(65536, dtype=jnp.int32)), num_keys=1
+        )[0].reshape(512, 128)
+
+    xs = np.asarray(xla_sort(xd)).reshape(-1)
+    ok_x = bool((xs == np.sort(x.reshape(-1))).all())
+    t_x = timeit(lambda: xla_sort(xd))
+    print(
+        f"bitonic 64K merge pass (16 of 136 stages): {t*1e6:.0f} us; "
+        f"XLA lax.sort (key+val): {'OK' if ok_x else 'BAD'} {t_x*1e6:.0f} us",
         flush=True,
     )
 
