@@ -399,7 +399,7 @@ int stpu_scan_fragments(const uint8_t* input, size_t n, int64_t* recs,
         ip += hdr + len;
       } else {  // straddles: split the literal at output lines
         size_t take = frag_end - op;
-        if (!close_frag(tags_begin, ip + hdr, take, kBlockSize))
+        if (!close_frag(ip, ip + hdr, take, kBlockSize))
           return STPU_INVALID_DATA;
         size_t src = ip + hdr + take, rem = len - take;
         while (rem >= kBlockSize) {
@@ -549,11 +549,12 @@ int stpu_stream_uncompressed_length(const uint8_t* input, size_t n,
       if (plen < 4) return STPU_INVALID_DATA;
       uint64_t expected = 0;
       if (stpu_uncompressed_length(input + ip + 8, plen - 4, &expected) !=
-          STPU_OK)
-        return STPU_INVALID_DATA;
+              STPU_OK ||
+          expected > kBlockSize)  // spec caps chunks at 64 KiB; reject here
+        return STPU_INVALID_DATA;  // so callers never size a huge buffer
       sum += expected;
     } else if (type == 0x01) {
-      if (plen < 4) return STPU_INVALID_DATA;
+      if (plen < 4 || plen - 4 > kBlockSize) return STPU_INVALID_DATA;
       sum += plen - 4;
     }
     ip += 4 + plen;

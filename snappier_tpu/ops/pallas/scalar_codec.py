@@ -84,7 +84,7 @@ def _tag_lut():
 
 def _decode_kernel(words_ref, lut_ref, lens_ref, out_ref,
                    outlen_ref, err_ref, words_smem, ow_smem,
-                   sem_in, sem_out, *, cc):
+                   sem_in, sem_out, *, cc, out_cap):
     """Word-packed decode walk (round-2 ablation winner, +30%).
 
     Both images are 4 bytes per int32: the compressed stream and the
@@ -98,8 +98,7 @@ def _decode_kernel(words_ref, lut_ref, lens_ref, out_ref,
     """
     b = pl.program_id(0)
     wc = words_smem.shape[0] - 8  # top slack for unclipped overreads
-    owc = ow_smem.shape[0]
-    oc = owc * 4 - 1024  # logical output capacity in bytes
+    owc = ow_smem.shape[0]  # DMA-tiled: out_cap bytes + >=1 KiB slack
     n = lens_ref[b]
 
     # Images ride flat in HBM; rows are aligned to 1024 words so
@@ -149,7 +148,11 @@ def _decode_kernel(words_ref, lut_ref, lens_ref, out_ref,
     )
     err = jnp.where(~done, ERR_BAD_PREAMBLE, err)
     err = jnp.where(pre_len > n, ERR_BAD_PREAMBLE, err)
-    err = jnp.where(expected > oc, ERR_BAD_PREAMBLE, err)
+    # Reject against the caller's logical capacity, not the DMA-rounded
+    # SMEM size `oc` (up to ~3 KiB larger) — otherwise a block claiming
+    # expected in (out_cap, oc] decodes "cleanly" but is silently
+    # truncated when the host slices the result to out_cap.
+    err = jnp.where(expected > out_cap, ERR_BAD_PREAMBLE, err)
     err = jnp.where(expected < 0, ERR_BAD_PREAMBLE, err)
 
     # --- copy machinery ----------------------------------------------------
@@ -373,7 +376,7 @@ def decode_blocks_scalar(
         [words, jnp.zeros((B, wc - CC // 4), jnp.int32)], axis=1
     )
     owc = -(-(out_cap + 1024) // 4 // 1024) * 1024  # words, DMA-tiled
-    kern = functools.partial(_decode_kernel, cc=CC)
+    kern = functools.partial(_decode_kernel, cc=CC, out_cap=out_cap)
     ow_flat, out_lens, errs = pl.pallas_call(
         kern,
         grid=(B,),

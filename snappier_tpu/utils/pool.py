@@ -3,9 +3,12 @@ usage + ``ByteArrayPoolMemoryOwner.cs``).
 
 Host-side staging buffers (fragment batches, chunk assembly) are
 recycled per size bucket to avoid re-allocating multi-megabyte numpy
-arrays on every stream write. Returned buffers are zeroed on rent
-(cheap relative to codec work, and it keeps padding bytes
-deterministic, which the static-shaped kernels rely on).
+arrays on every stream write. Buffers are NOT zeroed by default — the
+kernels bound every read by the per-row ``lengths`` vector (garbage
+past a row's length is never hashed, emitted, or checksummed), and the
+reference pool likewise zeroizes only on dispose
+(ByteArrayPoolMemoryOwner.cs:42). Pass ``zero=True`` for callers that
+do need deterministic padding.
 """
 
 from __future__ import annotations
@@ -24,15 +27,16 @@ class BufferPool:
         self._lock = threading.Lock()
         self._max = max_per_bucket
 
-    def rent(self, shape, dtype=np.int32) -> np.ndarray:
+    def rent(self, shape, dtype=np.int32, zero: bool = False) -> np.ndarray:
         key = (tuple(np.atleast_1d(shape).tolist()), np.dtype(dtype).str)
         with self._lock:
             bucket = self._buffers[key]
             if bucket:
                 buf = bucket.pop()
-                buf.fill(0)
+                if zero:
+                    buf.fill(0)
                 return buf
-        return np.zeros(shape, dtype)
+        return np.zeros(shape, dtype) if zero else np.empty(shape, dtype)
 
     def giveback(self, buf: np.ndarray) -> None:
         key = (buf.shape, buf.dtype.str)

@@ -138,3 +138,25 @@ def test_native_stream_framing_roundtrip_and_golden():
     # data before the stream identifier rejects
     with pytest.raises(InvalidDataError):
         native.stream_decompress(f[10:])
+
+
+def test_native_stream_sizing_rejects_huge_claims():
+    """Regression (round-3 advisor): the sizing walk summed per-chunk
+    claimed sizes without the spec's 64 KiB-per-chunk cap, so a tiny
+    crafted stream (each chunk claiming ~2 GiB) forced an enormous
+    host allocation before decode rejected it."""
+    from snappier_tpu.format.varint import write_varint
+
+    hdr = bytes.fromhex("ff060000734e61507059")
+    body = write_varint(2**31)  # preamble claims 2 GiB, no tags
+    payload = b"\x00\x00\x00\x00" + bytes(body)
+    chunk = bytes([0x00]) + len(payload).to_bytes(3, "little") + payload
+    with pytest.raises(InvalidDataError):
+        native.stream_decompress(hdr + chunk * 4)
+
+    # uncompressed chunk claiming more than the 64 KiB cap
+    big = b"z" * 70000
+    payload = b"\x00\x00\x00\x00" + big
+    chunk = bytes([0x01]) + len(payload).to_bytes(3, "little") + payload
+    with pytest.raises(InvalidDataError):
+        native.stream_decompress(hdr + chunk)

@@ -81,3 +81,39 @@ def test_straddling_literal_split():
     recs = prescan.scan_fragments_py(np.frombuffer(comp, np.uint8))
     assert recs is not None and len(recs) == 4
     assert st.decompress(comp, engine="tpu") == data.tobytes()
+
+
+def test_straddling_literal_after_tags_native_parity():
+    """Regression (round-3 advisor): the native scan closed a fragment
+    at a straddling literal with ``tags_begin`` instead of ``ip`` as the
+    tags_end, recording an empty tag range and dropping every tag that
+    preceded the literal. Encoder-produced streams never straddle, so
+    only a hand-crafted stream catches it."""
+    from snappier_tpu.runtime import native
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 256, 60000, dtype=np.uint8).tobytes()
+    plain = a + a[59900:59960]  # copy2 offset=100 len=60 at op=60000
+    tail = rng.integers(0, 256, 9940, dtype=np.uint8).tobytes()
+    plain += tail  # literal straddling the 64 KiB line at op=60060
+
+    body = bytearray(write_varint(len(plain)))
+    body += bytes([(59 + 3) << 2]) + (len(a) - 1).to_bytes(3, "little") + a
+    body += bytes([2 | (59 << 2)]) + (100).to_bytes(2, "little")
+    body += bytes([(59 + 2) << 2]) + (len(tail) - 1).to_bytes(2, "little")
+    body += tail
+    comp = bytes(body)
+    arr = np.frombuffer(comp, np.uint8)
+    assert oracle.decompress(arr) == plain  # stream is valid
+
+    rp = prescan.scan_fragments_py(arr)
+    assert rp is not None and len(rp) == 2
+    assert rp[0, prescan.TAGS_END] > rp[0, prescan.TAGS_BEGIN]
+
+    lib = native.load()
+    if lib is not None and hasattr(lib, "stpu_scan_fragments"):
+        rn = native.scan_fragments(comp)
+        assert rn is not None
+        assert (rn == rp).all()
+
+    assert st.decompress(comp, engine="tpu") == plain

@@ -124,3 +124,13 @@ def test_crc32c_blocks_ignores_garbage_tails():
     for i, l in enumerate(lens):
         want = crc32c(frags[i, :l].astype(np.uint8).tobytes())
         assert int(got[i]) == want, (i, l)
+
+
+def test_decode_rejects_expected_over_out_cap():
+    """Regression (round-3 advisor): the capacity check used the
+    DMA-rounded SMEM size (up to ~3 KiB above out_cap), so a block
+    claiming 2000 bytes decoded "cleanly" at out_cap=1024 and was
+    silently truncated by the host-side slice."""
+    comp = oracle.compress(np.frombuffer(b"x" * 2000, np.uint8))
+    _, _, errs = _dec([comp], out_cap=1024)
+    assert errs[0] != 0

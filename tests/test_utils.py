@@ -12,7 +12,10 @@ def test_buffer_pool_reuse():
     pool.giveback(a)
     b = pool.rent((64,), np.int32)
     assert b is a
-    assert (b == 0).all()  # zeroed on rent
+    assert (b == 7).all()  # NOT zeroed by default (hot path)
+    pool.giveback(b)
+    z = pool.rent((64,), np.int32, zero=True)
+    assert z is b and (z == 0).all()  # opt-in zero fill
     c = pool.rent((64,), np.int32)
     assert c is not b
     d = pool.rent((32,), np.int32)
