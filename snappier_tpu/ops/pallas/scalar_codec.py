@@ -46,6 +46,13 @@ _UNROLL = 8
 #: normal bounds checks, small enough never to overflow int32.
 _POISON = 1 << 28
 
+#: The walk classifies all mid-stream failures with one combined code
+#: (truncated tag / bad offset / length overrun) — computing distinct
+#: codes cost ~5 ops per tag for message precision no caller needs
+#: (the host raises InvalidDataError either way, listing the matched
+#: bits of this mask).
+_ERR_MALFORMED = ERR_TRUNCATED_TAG | ERR_BAD_OFFSET | ERR_LENGTH_MISMATCH
+
 
 @functools.cache
 def _tag_lut():
@@ -82,53 +89,94 @@ def _tag_lut():
     return lut
 
 
-def _decode_kernel(words_ref, lut_ref, lens_ref, out_ref,
-                   outlen_ref, err_ref, words_smem, ow_smem,
-                   sem_in, sem_out, *, cc, out_cap):
-    """Word-packed decode walk (round-2 ablation winner, +30%).
+@functools.cache
+def _tag_luts():
+    """Round-3 descriptor tables: three parallel 256-entry arrays that
+    turn per-tag field unpacking into straight-line arithmetic
+    (replaces the round-2 single-LUT + where-chain form; -12 ops/tag):
 
-    Both images are 4 bytes per int32: the compressed stream and the
-    output. Copies and literals stream through funnel shifts — 1 load +
-    1 store + ~4 ALU ops per 4 bytes instead of ~2 SMEM byte-ops per
-    byte (SMEM byte ops measured ~3 cycles each; copies were ~2/3 of
-    per-tag cost in the byte-image kernel). The partial frontier word
-    is always stored with a garbage tail (bytes >= the frontier are
-    never read and are overwritten by the next tag), so there is no
-    carry register and copy sources can always read the packed image.
+      d:  bits 0-2 header length, bit 3 is-literal, bits 4-10 length
+          base, bits 14-24 copy-1 offset high bits, bit 31 set for tags
+          whose 5-byte window matters (copy-4 / 4-extra-byte literal —
+          a nonzero byte 4 poisons the length so bounds checks reject).
+      lm: mask over the 3 bytes after the tag contributing to length
+          (long literals; 0 elsewhere) — length = (rest & lm) + Lbase.
+      om: mask over those bytes contributing to offset (copies) —
+          offset = (rest & om) | offhi.
+
+    Cached as NumPy (jnp under jit would capture tracers)."""
+    import numpy as _np
+
+    d = _np.zeros(256, _np.int32)
+    lm = _np.zeros(256, _np.int32)
+    om = _np.zeros(256, _np.int32)
+    for t in range(256):
+        tt = t & 3
+        l6 = t >> 2
+        wide = 0
+        if tt == 0:
+            is_lit, offhi = 1, 0
+            if l6 < 60:
+                hdr, base = 1, l6 + 1
+            else:
+                extra = l6 - 59
+                hdr, base = 1 + extra, 1
+                lm[t] = (1 << (8 * min(extra, 3))) - 1
+                wide = 1 if extra == 4 else 0
+        elif tt == 1:
+            hdr, base, is_lit, offhi = 2, ((t >> 2) & 7) + 4, 0, (t >> 5) << 8
+            om[t] = 0xFF
+        elif tt == 2:
+            hdr, base, is_lit, offhi = 3, l6 + 1, 0, 0
+            om[t] = 0xFFFF
+        else:
+            hdr, base, is_lit, offhi = 5, l6 + 1, 0, 0
+            om[t] = 0xFFFFFF
+            wide = 1
+        v = hdr | (is_lit << 3) | (base << 4) | (offhi << 14) | (wide << 31)
+        d[t] = v - (1 << 32) if v & (1 << 31) else v
+    return d, lm, om
+
+
+def _decode_kernel(keys_ref, lut_ref, lm_ref, om_ref, lens_ref, out_ref,
+                   outlen_ref, err_ref, key_smem, ow_smem,
+                   sem_in, sem_out, *, cc, out_cap):
+    """Key-image decode walk (round-3 ablation winner).
+
+    The compressed stream ships as a KEY image — one int32 per byte
+    holding the unaligned 32-bit little-endian window at that byte
+    (built by one XLA elementwise pass, same shape the encoder already
+    uses). Every tag parse and every literal-payload source read is
+    then ONE SMEM load instead of a two-load funnel-shift merge: the
+    image pre-funnels all four alignments. 4x the input DMA (~1% of
+    block time) buys ~10 ops off every tag. The output stays a packed
+    word image (4 bytes per int32): copy sources reference the output
+    itself, which is written incrementally, so copies still stream
+    through funnel shifts. The partial frontier word is always stored
+    with a garbage tail (bytes >= the frontier are never read and are
+    overwritten by the next tag), so there is no carry register.
     """
     b = pl.program_id(0)
-    wc = words_smem.shape[0] - 8  # top slack for unclipped overreads
+    kc = key_smem.shape[0]
     owc = ow_smem.shape[0]  # DMA-tiled: out_cap bytes + >=1 KiB slack
     n = lens_ref[b]
 
     # Images ride flat in HBM; rows are aligned to 1024 words so
     # dynamic 1-D slices stay tile-aligned for the DMA engine.
     cp_in = pltpu.make_async_copy(
-        words_ref.at[pl.ds(b * wc, wc)], words_smem.at[pl.ds(0, wc)], sem_in
+        keys_ref.at[pl.ds(b * kc, kc)], key_smem, sem_in
     )
     cp_in.start()
     cp_in.wait()
 
     def rd(i):
-        ii = jnp.clip(i, 0, cc - 1)
-        return jax.lax.shift_right_logical(
-            words_smem[ii >> 2], (ii & 3) * 8
-        ) & 0xFF
+        return key_smem[jnp.clip(i, 0, cc - 1)] & 0xFF
 
     def window5(i):
-        """Bytes [i, i+5) as (v32, b4): one unaligned 32-bit window plus
-        the following byte, from two word loads. The wi+1 read is
-        unclipped: the words image carries 8 words of top slack, so a
-        tag at the last byte overreads into slack, never out of
-        bounds."""
-        wi = i >> 2
-        sh = (i & 3) * 8
-        w0 = words_smem[wi]
-        w1 = words_smem[wi + 1]
-        lo = jax.lax.shift_right_logical(w0, sh)
-        v32 = jnp.where(sh == 0, w0, lo | (w1 << (32 - sh)))
-        b4 = jax.lax.shift_right_logical(w1, sh) & 0xFF
-        return v32, b4
+        """Bytes [i, i+5) as (v32, b4): two key-image loads. The i+4
+        read is unclipped — valid streams never need a byte past n-1,
+        and the image carries >= 1 KiB of zero slack past cc."""
+        return key_smem[i], key_smem[i + 4] & 0xFF
 
     # --- varint preamble (VarIntEncoding.Read.cs semantics) -------------
     def var_body(state):
@@ -156,21 +204,59 @@ def _decode_kernel(words_ref, lut_ref, lens_ref, out_ref,
     err = jnp.where(expected < 0, ERR_BAD_PREAMBLE, err)
 
     # --- copy machinery ----------------------------------------------------
-    def funnel(lo, hi, a8, hs, hm):
-        return jax.lax.shift_right_logical(lo, a8) | ((hi << hs) & hm)
+    def funnel(lo, hi, a8, hs2):
+        # (hi << 1) << hs2 with hs2 = 31 - a8 shifts hi up by 32 - a8
+        # without the undefined shift-by-32 lane a8 == 0 would need.
+        return jax.lax.shift_right_logical(lo, a8) | ((hi << 1) << hs2)
 
-    def append_stream(S, spos, op, K):
-        """Append K bytes read from packed image S at byte spos to the
-        output frontier op. Requires spos + t < frontier bytes already
-        valid in their image (always true for literals; for copies,
-        off >= 8 keeps the stream reads behind the written words).
+    def append_lit(spos, op, K):
+        """Append K literal bytes from the key image to the output
+        frontier op. The key image pre-funnels every alignment, so each
+        output word is ONE load: ow[w] = key(src byte for w's lane 0).
         Over-stores whole words past the frontier (bytes >= op + K are
-        garbage until a later tag overwrites them — never read)."""
+        garbage until a later tag overwrites them — never read); key
+        overreads land in the image's >= 1 KiB top slack."""
+        w0 = op >> 2
+        da8 = (op & 3) * 8
+        lowmask = (1 << da8) - 1
+        ow_smem[w0] = (ow_smem[w0] & lowmask) | (key_smem[spos] << da8)
+        s1 = spos + 4 - (op & 3)
+        nw = ((op + K - 1) >> 2) - w0  # full/partial words after w0
+
+        @pl.when(nw > 0)
+        def _():
+            ow_smem[w0 + 1] = key_smem[s1]
+            ow_smem[w0 + 2] = key_smem[s1 + 4]
+
+            @pl.when(nw > 2)
+            def _():
+                ow_smem[w0 + 3] = key_smem[s1 + 8]
+                ow_smem[w0 + 4] = key_smem[s1 + 12]
+
+                @pl.when(nw > 4)
+                def _():
+                    def cp(k, _):
+                        w = w0 + 5 + 4 * k
+                        s = s1 + 16 + 16 * k
+                        ow_smem[w] = key_smem[s]
+                        ow_smem[w + 1] = key_smem[s + 4]
+                        ow_smem[w + 2] = key_smem[s + 8]
+                        ow_smem[w + 3] = key_smem[s + 12]
+                        return 0
+
+                    jax.lax.fori_loop(0, (nw - 1) >> 2, cp, 0,
+                                      unroll=False)
+
+    def append_stream(spos, op, K):
+        """Append K bytes read from the packed output image at byte
+        spos to the output frontier op (copy path; off >= 8 keeps the
+        stream reads behind the written words). Over-stores whole words
+        past the frontier (bytes >= op + K are garbage until a later
+        tag overwrites them — never read)."""
         rel = spos - op
         a8 = (rel & 3) * 8
         rw = rel >> 2  # arithmetic shift: floor for negative rel
-        hs = (32 - a8) & 31
-        hm = jnp.where(a8 == 0, 0, jnp.int32(-1))
+        hs2 = 31 - a8
         w0 = op >> 2
         da8 = (op & 3) * 8
         lowmask = (1 << da8) - 1
@@ -178,20 +264,19 @@ def _decode_kernel(words_ref, lut_ref, lens_ref, out_ref,
         # Unclipped stream reads (measured ~10 ops/tag of clips): every
         # tag passes its bounds checks before appending, so all USED
         # source words are in range; the sloppy overreads past the last
-        # needed word land in each image's top slack (>= 8 words for
-        # the compressed image, >= 256 for the output image). The only
-        # possible negative index is `base` itself (when spos < 4 and
-        # spos % 4 < op % 4 floor rw to -1 too far): its bytes feed
-        # only destination positions below the frontier, which the w0
-        # read-modify-write masks away — so a single max() clamp on
-        # that one read suffices.
+        # needed word land in the output image's >= 256-word top slack.
+        # The only possible negative index is `base` itself (when
+        # spos < 4 and spos % 4 < op % 4 floor rw to -1 too far): its
+        # bytes feed only destination positions below the frontier,
+        # which the w0 read-modify-write masks away — so a single max()
+        # clamp on that one read suffices.
         def sw(i):
-            return S[i]
+            return ow_smem[i]
 
         base = w0 + rw
         prev = sw(jnp.maximum(base, 0))
         nxt = sw(base + 1)
-        sv = funnel(prev, nxt, a8, hs, hm)
+        sv = funnel(prev, nxt, a8, hs2)
         ow_smem[w0] = (ow_smem[w0] & lowmask) | (sv & ~lowmask)
         nw = ((op + K - 1) >> 2) - w0  # full/partial words after w0
 
@@ -200,9 +285,9 @@ def _decode_kernel(words_ref, lut_ref, lens_ref, out_ref,
             # Unrolled pair covers nw <= 2 (the common case) branch-
             # free; the second store may be pure over-store.
             n2 = sw(base + 2)
-            ow_smem[w0 + 1] = funnel(nxt, n2, a8, hs, hm)
+            ow_smem[w0 + 1] = funnel(nxt, n2, a8, hs2)
             n3 = sw(base + 3)
-            ow_smem[w0 + 2] = funnel(n2, n3, a8, hs, hm)
+            ow_smem[w0 + 2] = funnel(n2, n3, a8, hs2)
 
             @pl.when(nw > 2)
             def _():
@@ -211,9 +296,9 @@ def _decode_kernel(words_ref, lut_ref, lens_ref, out_ref,
                 # data-dependent inner loop costs ~20 ns (cliff probe,
                 # docs/ROADMAP.md) so it is reserved for long copies.
                 n4 = sw(base + 4)
-                ow_smem[w0 + 3] = funnel(n3, n4, a8, hs, hm)
+                ow_smem[w0 + 3] = funnel(n3, n4, a8, hs2)
                 n5 = sw(base + 5)
-                ow_smem[w0 + 4] = funnel(n4, n5, a8, hs, hm)
+                ow_smem[w0 + 4] = funnel(n4, n5, a8, hs2)
 
                 @pl.when(nw > 4)
                 def _():
@@ -224,13 +309,13 @@ def _decode_kernel(words_ref, lut_ref, lens_ref, out_ref,
                     def cp(k, carry):
                         w = w0 + 5 + 4 * k
                         m1 = sw(w + rw + 1)
-                        ow_smem[w] = funnel(carry, m1, a8, hs, hm)
+                        ow_smem[w] = funnel(carry, m1, a8, hs2)
                         m2 = sw(w + rw + 2)
-                        ow_smem[w + 1] = funnel(m1, m2, a8, hs, hm)
+                        ow_smem[w + 1] = funnel(m1, m2, a8, hs2)
                         m3 = sw(w + rw + 3)
-                        ow_smem[w + 2] = funnel(m2, m3, a8, hs, hm)
+                        ow_smem[w + 2] = funnel(m2, m3, a8, hs2)
                         m4 = sw(w + rw + 4)
-                        ow_smem[w + 3] = funnel(m3, m4, a8, hs, hm)
+                        ow_smem[w + 3] = funnel(m3, m4, a8, hs2)
                         return m4
 
                     jax.lax.fori_loop(0, (nw - 1) >> 2, cp, n5,
@@ -262,48 +347,33 @@ def _decode_kernel(words_ref, lut_ref, lens_ref, out_ref,
         v32, b4 = window5(ip)
         tag = v32 & 0xFF
         d = lut_ref[tag]
+        rest = jax.lax.shift_right_logical(v32, 8)
         hdr = d & 7
         is_lit = (d & 8) != 0
-        L = (d >> 4) & 0x7F
-        extra = (d >> 11) & 7
-        rest = jax.lax.shift_right_logical(v32, 8)
-
-        # Long-literal length from the extra bytes (branchless; the
-        # extra == 0 lane of `mask` is UB-shift garbage but selected
-        # away; extra == 4 requires byte 4 == 0 or poisons).
-        mask = jax.lax.shift_right_logical(jnp.int32(-1), (4 - extra) * 8)
-        longlen = (rest & mask) + 1
-        longlen = jnp.where((extra == 4) & (b4 > 0), _POISON, longlen)
-        length = jnp.where(is_lit & (extra > 0), longlen, L)
-
-        ttype = d >> 25
-        off = jnp.where(
-            ttype == 1,
-            ((d >> 14) & 0x7FF) | (rest & 0xFF),
-            jnp.where(
-                ttype == 2,
-                rest & 0xFFFF,
-                jnp.where(b4 > 0, _POISON, rest),
-            ),
-        )
+        # Straight-line field extraction via the three parallel LUTs
+        # (_tag_luts): length = masked extra bytes + base; offset =
+        # masked extra bytes | copy-1 high bits. Tags whose window
+        # extends to byte 4 (copy-4 / 4-extra-byte literal, d's sign
+        # bit) poison the length when byte 4 is nonzero — the real
+        # value would exceed any legal out_cap/offset, so the bounds
+        # checks below reject without a dedicated branch.
+        length = (rest & lm_ref[tag]) + ((d >> 4) & 0x7F)
+        off = (rest & om_ref[tag]) | ((d >> 14) & 0x7FF)
+        length = jnp.where((d < 0) & (b4 > 0), _POISON, length)
 
         advance = hdr + jnp.where(is_lit, length, 0)
-        e = jnp.where(ip + advance > n, ERR_TRUNCATED_TAG, 0)
-        e = jnp.where(
-            ~is_lit & ((off <= 0) | (off > op)), ERR_BAD_OFFSET, e
-        )
-        e = jnp.where(
-            (op + length > expected) | (length < 0), ERR_LENGTH_MISMATCH, e
-        )
-        ok = e == 0
+        bad = (ip + advance > n) | (op + length > expected)
+        bad = bad | (~is_lit & ((off <= 0) | (off > op)))
+        e = jnp.where(bad, _ERR_MALFORMED, 0)
+        ok = ~bad
 
         @pl.when(ok & is_lit)
         def _():
-            append_stream(words_smem, ip + hdr, op, length)
+            append_lit(ip + hdr, op, length)
 
         @pl.when(ok & ~is_lit & (off >= 8))
         def _():
-            append_stream(ow_smem, op - off, op, length)
+            append_stream(op - off, op, length)
 
         @pl.when(ok & ~is_lit & (off < 8))
         def _():
@@ -316,9 +386,7 @@ def _decode_kernel(words_ref, lut_ref, lens_ref, out_ref,
             @pl.when(length > 14)
             def _():
                 off2 = off * (14 // jnp.maximum(off, 1))
-                append_stream(
-                    ow_smem, op + 14 - off2, op + 14, length - 14
-                )
+                append_stream(op + 14 - off2, op + 14, length - 14)
 
         return ip + advance, op + jnp.where(ok, length, 0), e
 
@@ -343,10 +411,11 @@ def _interpret_default() -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("out_cap", "interpret")
+    jax.jit, static_argnames=("out_cap", "interpret", "packed")
 )
 def decode_blocks_scalar(
-    comp, comp_lens, out_cap: int = BLOCK_SIZE, interpret: bool | None = None
+    comp, comp_lens, out_cap: int = BLOCK_SIZE, interpret: bool | None = None,
+    packed: bool = False,
 ):
     """Decode a batch of Snappy blocks on the TPU scalar core.
 
@@ -355,26 +424,26 @@ def decode_blocks_scalar(
       comp_lens: int32[B].
       out_cap: static output capacity per block.
       interpret: run in the Pallas interpreter (defaults to True off-TPU).
+      packed: return word-packed rows int32[B, out_cap//4] (4 LE bytes
+        per int32) instead of byte-per-int32 — 4x fewer bytes over the
+        host link; view as uint8 host-side.
 
-    Returns: (out int32[B, out_cap], out_lens int32[B], errs int32[B]).
+    Returns: (out int32[B, out_cap], out_lens int32[B], errs int32[B]),
+    or with ``packed`` (out int32[B, out_cap//4], out_lens, errs).
     """
     if interpret is None:
         interpret = _interpret_default()
     comp = comp.astype(jnp.int32)
     B, CC = comp.shape
     assert CC % 1024 == 0 and out_cap % 1024 == 0  # 1-D DMA tiling
-    # Word-packed image of the compressed bytes (4 bytes per int32);
-    # rows are padded independently to the 1024-word DMA tiling. The
-    # byte image is not shipped at all — the kernel reads bytes out of
-    # the packed words, halving the input DMA.
-    words = (
-        comp.reshape(B, CC // 4, 4)
-        * jnp.array([1, 1 << 8, 1 << 16, 1 << 24], jnp.int32)
-    ).sum(axis=2, dtype=jnp.int32)
-    wc = -(-(CC // 4) // 1024) * 1024
-    words = jnp.concatenate(
-        [words, jnp.zeros((B, wc - CC // 4), jnp.int32)], axis=1
-    )
+    # Key image of the compressed bytes: one int32 per byte holding the
+    # unaligned 32-bit LE window at that byte (XLA elementwise pass).
+    # 4x the DMA of the round-2 packed-word image (~1% of block time)
+    # but every tag parse / literal source read becomes ONE SMEM load —
+    # the image pre-funnels all four alignments. 1 KiB of zero slack
+    # absorbs the walk's sloppy overreads.
+    keys = _keys_from_frags(comp)[:, : CC + 1024]
+    kc = CC + 1024
     owc = -(-(out_cap + 1024) // 4 // 1024) * 1024  # words, DMA-tiled
     kern = functools.partial(_decode_kernel, cc=CC, out_cap=out_cap)
     ow_flat, out_lens, errs = pl.pallas_call(
@@ -389,6 +458,8 @@ def decode_blocks_scalar(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
@@ -396,7 +467,7 @@ def decode_blocks_scalar(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
-            pltpu.SMEM((wc + 8,), jnp.int32),  # +8: unclipped overread slack
+            pltpu.SMEM((kc,), jnp.int32),  # key image incl. 1 KiB slack
             pltpu.SMEM((owc,), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
@@ -404,11 +475,16 @@ def decode_blocks_scalar(
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(
-        words.reshape(-1),
-        jnp.asarray(_tag_lut()),
+        keys.reshape(-1),
+        *(jnp.asarray(a) for a in _tag_luts()),
         comp_lens.astype(jnp.int32),
     )
     ow = ow_flat.reshape(B, owc)
+    if packed:
+        # Word-packed rows (4 LE bytes per int32, out_cap//4 words):
+        # callers that ship results to the host fetch 4x fewer bytes
+        # and .view(np.uint8) there (round-3 tunnel-transfer fix).
+        return ow[:, : out_cap // 4], out_lens, errs
     # Unpack words back to the byte-per-int32 API contract (cheap XLA
     # elementwise; stays on device).
     sh = jnp.arange(4, dtype=jnp.int32) * 8

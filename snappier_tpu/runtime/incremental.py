@@ -17,6 +17,7 @@ semantics are kept host-side; device work stays block-granular.
 from __future__ import annotations
 
 from snappier_tpu.constants import (
+    BLOCK_SIZE,
     MAX_SHORT_LITERAL,
     TAG_COPY1,
     TAG_COPY2,
@@ -217,10 +218,42 @@ def decompress_iter(chunks) -> bytes:
     return d.extract_data()
 
 
-def compress_iter(chunks, engine: str = "auto") -> bytes:
+def compress_iter(chunks, engine: str = "auto",
+                  batch_blocks: int = 64) -> bytes:
     """Compress the logical concatenation of an iterable of byte chunks
     (``Snappy.Compress(ReadOnlySequence, IBufferWriter)`` analog,
-    Snappy.cs:82-97)."""
+    Snappy.cs:82-97).
+
+    Truly incremental like the reference's per-segment loop: input is
+    staged at most ``batch_blocks`` x 64 KiB at a time (fragments are
+    independent, SURVEY.md §1, so bodies from separate batches
+    concatenate into one valid stream), and the result is byte-identical
+    to the one-shot ``compress`` of the concatenation. Peak memory is
+    O(batch + output); the reference streams output to an
+    ``IBufferWriter`` while this API returns bytes, so O(output) is
+    inherent here."""
+    import numpy as np
+
+    from snappier_tpu.format.varint import read_varint, write_varint
     from snappier_tpu.runtime import block as block_rt
 
-    return block_rt.compress(b"".join(bytes(c) for c in chunks), engine=engine)
+    span = BLOCK_SIZE * batch_blocks
+
+    def bodies_of(data: bytes) -> bytes:
+        comp = block_rt.compress(data, engine=engine)
+        _, off = read_varint(np.frombuffer(comp, np.uint8))
+        return comp[off:]
+
+    buf = bytearray()
+    bodies = bytearray()
+    total = 0
+    for c in chunks:
+        c = bytes(c)
+        buf += c
+        total += len(c)
+        while len(buf) >= span:
+            bodies += bodies_of(bytes(buf[:span]))
+            del buf[:span]
+    if buf or total == 0:
+        bodies += bodies_of(bytes(buf))
+    return write_varint(total) + bodies

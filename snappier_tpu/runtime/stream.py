@@ -32,6 +32,8 @@ CRC (native slicing-by-8, else the NumPy GF(2) path).
 
 from __future__ import annotations
 
+import functools as _functools
+
 import numpy as np
 
 from snappier_tpu.constants import (
@@ -62,9 +64,34 @@ CHUNK_COMP_CAP = BLOCK_SIZE + 2048
 #: Reference's default transfer buffer (SnappyStream.cs:16).
 DEFAULT_TRANSFER_SIZE = 8192
 
+#: Device sub-batch for the one-shot stream paths: big enough to
+#: amortize the ~5 ms dispatch, small enough that several sub-batches
+#: pipeline (submit-ahead overlaps host staging with device work).
+_SUB_BATCH = 256
+
+#: Sub-batches allowed in flight before the oldest is fetched.
+_PIPELINE_DEPTH = 3
+
 
 def _pow2_batch(b: int) -> int:
     return 1 << max(0, (max(b, 1) - 1)).bit_length()
+
+
+def _pipeline(submit, fetch, n: int) -> None:
+    """Run ``submit(s)`` for s in range(n), calling ``fetch(*work)`` on
+    each result in order while keeping up to ``_PIPELINE_DEPTH``
+    sub-batches in flight. JAX dispatch is asynchronous, so the device
+    works on earlier batches while the host stages later ones; the
+    ordered fetches are the only blocking points."""
+    from collections import deque
+
+    pending: deque = deque()
+    for s in range(n):
+        pending.append(submit(s))
+        if len(pending) > _PIPELINE_DEPTH:
+            fetch(*pending.popleft())
+    while pending:
+        fetch(*pending.popleft())
 
 
 def _stream_codec():
@@ -141,28 +168,61 @@ def _compress_chunks_batched(
         return out
     # Device path: the whole data-chunk pipeline (encode, CRC32C +
     # masking, varint, chunk header, uncompressed fallback) runs in one
-    # jitted graph (SnappyCodec.frame_batch); the host only slices the
-    # ragged framed rows.
-    bsz = _pow2_batch(len(chunks))
-    frags = default_pool.rent((bsz, BLOCK_SIZE), np.uint8)
-    lengths = np.zeros(bsz, np.int32)
-    for i, c in enumerate(chunks):
-        a = np.frombuffer(c, np.uint8)
-        frags[i, : len(a)] = a
-        lengths[i] = len(a)
-    framed, framed_lens = _stream_codec().frame_batch(frags, lengths)
-    default_pool.giveback(frags)
-    framed = np.asarray(framed)
-    framed_lens = np.asarray(framed_lens)
-    if len(chunks) and int(framed_lens[: len(chunks)].max()) > framed.shape[1]:
-        raise RuntimeError(
-            "framed chunk exceeds its slot — emission bound violated "
-            "(kernel bug)"
-        )
-    return [
-        framed[i, : int(framed_lens[i])].tobytes()
-        for i in range(len(chunks))
-    ]
+    # jitted graph per sub-batch (SnappyCodec.frame_batch_packed).
+    # Round-3 shape: fixed-size sub-batches submitted a few ahead of
+    # the ordered fetches (JAX dispatch is async, so host staging of
+    # batch k+1 overlaps device compute/transfers of batch k), rows
+    # word-packed and — when the batch is mostly slack — compacted on
+    # device to their true size before crossing the host link.
+    codec = _stream_codec()
+    results: list[bytes] = [b""] * len(chunks)
+    nsub = -(-len(chunks) // _SUB_BATCH)
+    sub = _SUB_BATCH if nsub > 1 else _pow2_batch(len(chunks))
+
+    def submit(s: int):
+        lo = s * sub
+        hi = min(len(chunks), lo + sub)
+        frags = default_pool.rent((sub, BLOCK_SIZE), np.uint8)
+        lengths = np.zeros(sub, np.int32)
+        for j, c in enumerate(chunks[lo:hi]):
+            a = np.frombuffer(c, np.uint8)
+            frags[j, : len(a)] = a
+            lengths[j] = len(a)
+        packed, flens = codec.frame_batch_packed(frags, lengths)
+        return packed, flens, lo, hi, frags
+
+    def fetch(packed, flens, lo, hi, frags):
+        import jax.numpy as jnp
+
+        from snappier_tpu.models.codec import compact_words
+
+        flens_h = np.asarray(flens)
+        if (flens_h[: hi - lo] > packed.shape[1] * 4).any():
+            raise RuntimeError(
+                "framed chunk exceeds its slot — emission bound "
+                "violated (kernel bug)"
+            )
+        wlens = (flens_h + 3) >> 2
+        total = int(wlens.sum())
+        slot_words = packed.shape[0] * packed.shape[1]
+        capw = max(1024, 1 << (max(total, 1) - 1).bit_length())
+        if capw < slot_words // 2:
+            # One device gather re-packs the ragged rows end to end;
+            # the [:total] slice fetches the true payload size.
+            flat = compact_words(packed, (flens + 3) >> 2, cap_words=capw)
+            buf = np.asarray(flat[:total]).view(np.uint8)
+            offs = np.concatenate([[0], np.cumsum(wlens)])
+            for j in range(hi - lo):
+                o = int(offs[j]) * 4
+                results[lo + j] = buf[o : o + int(flens_h[j])].tobytes()
+        else:
+            rows = np.asarray(packed).view(np.uint8)
+            for j in range(hi - lo):
+                results[lo + j] = rows[j, : int(flens_h[j])].tobytes()
+        default_pool.giveback(frags)
+
+    _pipeline(submit, fetch, nsub)
+    return results
 
 
 def _device_crc_active() -> bool:
@@ -171,6 +231,35 @@ def _device_crc_active() -> bool:
     import jax
 
     return jax.default_backend() == "tpu"
+
+
+@_functools.cache
+def _decode_crc_pack_fn(out_cap: int, with_crc: bool):
+    """One jitted graph: batched block decode, per-row CRC32C of the
+    decoded bytes (SnappyStreamDecompressor.cs:117-131 parity), and
+    word-packing of the outputs so the host fetch moves 4x fewer
+    bytes. Returns (packed int32 [B, out_cap//4], out_lens, errs,
+    crcs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from snappier_tpu.models.codec import pack_rows
+
+    codec = _stream_codec()
+
+    def fn(comp, comp_lens):
+        outs, out_lens, errs = codec.decompress_batch_fn(out_cap)(
+            comp, comp_lens
+        )
+        if with_crc:
+            from snappier_tpu.ops.pallas.crc32c import crc32c_blocks
+
+            crcs = crc32c_blocks(outs, out_lens)
+        else:
+            crcs = jnp.zeros_like(out_lens)
+        return pack_rows(outs), out_lens, errs, crcs
+
+    return jax.jit(fn)
 
 
 def _decompress_chunks_batched(
@@ -221,34 +310,47 @@ def _decompress_chunks_batched(
         result[i] = body
         crcs[i] = host_crc(body)
     if device_idx:
-        bsz = _pow2_batch(len(device_idx))
-        comp = default_pool.rent((bsz, CHUNK_COMP_CAP), np.uint8)
-        comp_lens = np.zeros(bsz, np.int32)
-        for j, i in enumerate(device_idx):
-            a = np.frombuffer(payloads[i], np.uint8)
-            comp[j, : len(a)] = a
-            comp_lens[j] = len(a)
-        outs, out_lens, errs = block_rt.decompress_blocks(
-            comp, comp_lens, out_cap=BLOCK_SIZE
-        )
-        default_pool.giveback(comp)
-        dev_crcs = None
-        if _device_crc_active():
-            from snappier_tpu.ops.pallas.crc32c import crc32c_blocks
+        # Round-3 shape: pipelined sub-batches (see _pipeline), comp
+        # slots bucketed to the sub-batch's actual max payload (a 14 KiB
+        # html chunk no longer ships in a 66 KiB slot), decode + CRC +
+        # word-packing fused in one jitted graph so only packed words
+        # cross the host link (4x fewer bytes than byte-per-int32 rows).
+        use_crc = _device_crc_active()
+        fn = _decode_crc_pack_fn(BLOCK_SIZE, use_crc)
+        nsub = -(-len(device_idx) // _SUB_BATCH)
+        sub = _SUB_BATCH if nsub > 1 else _pow2_batch(len(device_idx))
 
-            dev_crcs = np.asarray(crc32c_blocks(outs, out_lens)).view(
-                np.uint32
-            )
-        outs = np.asarray(outs)
-        out_lens = np.asarray(out_lens)
-        errs = np.asarray(errs)
-        for j, i in enumerate(device_idx):
-            block_rt._raise_for_err(int(errs[j]))
-            body = outs[j, : int(out_lens[j])].astype(np.uint8).tobytes()
-            result[i] = body
-            crcs[i] = int(dev_crcs[j]) if dev_crcs is not None else host_crc(
-                body
-            )
+        def submit(s: int):
+            lo = s * sub
+            hi = min(len(device_idx), lo + sub)
+            group = device_idx[lo:hi]
+            width = max(len(payloads[i]) for i in group)
+            width = max(1024, 1 << (max(width, 1) - 1).bit_length())
+            width = min(width, CHUNK_COMP_CAP)
+            comp = default_pool.rent((sub, width), np.uint8)
+            comp_lens = np.zeros(sub, np.int32)
+            for j, i in enumerate(group):
+                a = np.frombuffer(payloads[i], np.uint8)
+                comp[j, : len(a)] = a
+                comp_lens[j] = len(a)
+            return (*fn(comp, comp_lens), lo, hi, comp)
+
+        def fetch(packed, out_lens, errs, dev_crcs, lo, hi, comp):
+            errs_h = np.asarray(errs)
+            out_lens_h = np.asarray(out_lens)
+            crcs_h = np.asarray(dev_crcs).view(np.uint32) if use_crc else None
+            rows = np.asarray(packed).view(np.uint8)
+            for j in range(hi - lo):
+                i = device_idx[lo + j]
+                block_rt._raise_for_err(int(errs_h[j]))
+                body = rows[j, : int(out_lens_h[j])].tobytes()
+                result[i] = body
+                crcs[i] = (
+                    int(crcs_h[j]) if crcs_h is not None else host_crc(body)
+                )
+            default_pool.giveback(comp)
+
+        _pipeline(submit, fetch, nsub)
     return result, crcs  # type: ignore[return-value]
 
 

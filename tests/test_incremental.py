@@ -114,3 +114,45 @@ def test_iter_apis():
     assert oracle.decompress(comp) == data
     pieces = [comp[i : i + 999] for i in range(0, len(comp), 999)]
     assert decompress_iter(pieces) == data
+
+
+def test_compress_iter_streams_in_bounded_batches():
+    """compress_iter must not concatenate the whole logical input: it
+    stages at most batch_blocks x 64 KiB and emits per-batch fragment
+    bodies that are byte-identical to the one-shot compress
+    (Snappy.cs:82-97 analog)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    # Mixed compressibility, deliberately misaligned chunk sizes.
+    parts = [
+        (b"snappy " * 5000),
+        rng.integers(0, 256, 200_001, dtype=np.uint8).tobytes(),
+        (b"z" * 300_000),
+        rng.integers(0, 256, 77, dtype=np.uint8).tobytes(),
+    ]
+    whole = b"".join(parts)
+
+    consumed = []
+
+    def gen():
+        for p in parts:
+            consumed.append(len(p))
+            yield p
+
+    # batch_blocks=2 -> 128 KiB staging spans several flushes.
+    comp = compress_iter(gen(), engine="oracle", batch_blocks=2)
+    assert comp == __import__("snappier_tpu").compress(whole, engine="oracle")
+    assert decompress_iter([comp]) == whole
+    assert sum(consumed) == len(whole)
+
+
+def test_compress_iter_empty_and_tiny():
+    import snappier_tpu as st
+
+    assert compress_iter([], engine="oracle") == st.compress(
+        b"", engine="oracle"
+    )
+    assert compress_iter([b"", b"a", b""], engine="oracle") == st.compress(
+        b"a", engine="oracle"
+    )

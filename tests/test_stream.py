@@ -261,3 +261,98 @@ def test_skippable_chunks_through_both_framing_engines():
     if native.available():
         with pytest.raises(InvalidDataError):
             native.stream_decompress(bytes(bad))
+
+
+def test_oversize_compressed_chunk_routes_to_host():
+    """A spec-legal chunk whose COMPRESSED payload exceeds the device
+    slot (uncompressed still <= 64 KiB) must decode via the host
+    fallback route (stream.py oversize routing) — the framing format
+    caps chunk length at 16 MiB - 1, not at the encoder's emission
+    bound (SnappyStreamDecompressor.cs imposes no compressed cap)."""
+    import numpy as np
+
+    from snappier_tpu.format.crc32c import crc32c as crc_ref
+    from snappier_tpu.format.crc32c import mask_crc
+    from snappier_tpu.format.varint import write_varint
+    from snappier_tpu.runtime.stream import CHUNK_COMP_CAP, stream_decompress
+
+    rng = np.random.default_rng(5)
+    plain = rng.integers(0, 256, 65536, dtype=np.uint8).tobytes()
+    # Pathological but valid encoding: every byte a 1-byte literal ->
+    # 2 bytes of compressed payload per uncompressed byte.
+    body = bytearray(write_varint(len(plain)))
+    for b in plain:
+        body += bytes([0, b])  # literal tag len=1, then the byte
+    assert len(body) > CHUNK_COMP_CAP - 8
+    payload = mask_crc(crc_ref(plain)).to_bytes(4, "little") + bytes(body)
+    tail = st.stream_compress(b"tail-chunk")[len(STREAM_HEADER):]
+    framed = (
+        STREAM_HEADER
+        + bytes([0x00])
+        + len(payload).to_bytes(3, "little")
+        + payload
+        + tail
+    )
+    assert stream_decompress(framed, engine="tpu") == plain + b"tail-chunk"
+
+
+def test_async_adapters_concurrent_ops_serialized():
+    """Concurrent writes/reads on one async stream must serialize (the
+    reference's single-async-operation interlock,
+    SnappyStream.cs:611-637) and produce a byte-exact stream."""
+    import asyncio
+    import io
+
+    from snappier_tpu.runtime.stream import AsyncSnappyReader, AsyncSnappyWriter
+
+    pieces = [bytes([i]) * (997 * (i % 7 + 1)) for i in range(40)]
+
+    async def run():
+        sink = io.BytesIO()
+        async with AsyncSnappyWriter(sink, leave_open=True,
+                                     engine="oracle") as w:
+            # gather launches all writes concurrently; the lock must
+            # serialize them. asyncio.gather preserves call order for
+            # task *creation*, so issue sequentially-awaited batches to
+            # assert deterministic output while still overlapping ops.
+            await asyncio.gather(*(w.write(p) for p in pieces[:20]))
+            await asyncio.gather(w.flush(), *(w.write(p) for p in
+                                              pieces[20:]))
+        framed = sink.getvalue()
+        async with AsyncSnappyReader(io.BytesIO(framed),
+                                     engine="oracle") as r:
+            outs = await asyncio.gather(*(r.read(4096) for _ in range(200)))
+            rest = await r.read()
+        return b"".join(outs) + rest
+
+    got = asyncio.run(run())
+    # Writes may interleave in completion order, but the lock guarantees
+    # chunk-atomicity: the decoded stream is a permutation-free, loss-
+    # free concatenation of the pieces in the order the event loop ran
+    # the write() coroutines. With gather on a single loop that order
+    # is the submission order.
+    assert got == b"".join(pieces)
+
+
+def test_pipelined_subbatches_and_compaction(monkeypatch):
+    """Force tiny device sub-batches so the pipelined submit/fetch
+    window, the per-sub-batch slot bucketing, and the device-side
+    ragged compaction all run hermetically (on TPU these engage at
+    256-chunk batches)."""
+    import numpy as np
+
+    from snappier_tpu.runtime import stream as S
+
+    monkeypatch.setattr(S, "_SUB_BATCH", 2)
+    monkeypatch.setattr(S, "_PIPELINE_DEPTH", 2)
+    rng = np.random.default_rng(17)
+    # 9 chunks -> 5 sub-batches; mixed compressibility exercises both
+    # the compacted and full-slot fetch branches.
+    data = (
+        b"the snappy corpus " * 9000
+        + rng.integers(0, 256, 200_000, dtype=np.uint8).tobytes()
+        + b"x" * 150_000
+    )
+    framed = S.stream_compress(data, engine="tpu")
+    assert S.stream_decompress(framed, engine="tpu") == data
+    assert S.stream_decompress(framed, engine="oracle") == data

@@ -14,6 +14,11 @@ boundary. This tool reproduces that volume against the repo's engines:
 Exit code 0 = every iteration exact. Wired into benchmarks/run_all.py;
 results are recorded in docs/ROADMAP.md.
 
+A fourth campaign, ``device-stream``, drives the framed DEVICE path
+end to end (SnappyWriter(engine='tpu') with flush-heavy writes and
+skippable/padding injection) — reference shape SnappyStreamTests.cs
+:145-262.
+
 Usage: python tools/fuzz_host.py [native_iters] [scan_iters] [seed]
 """
 
@@ -166,6 +171,59 @@ def run_stream(iters: int, seed: int) -> None:
     )
 
 
+def run_stream_device(iters: int, seed: int) -> None:
+    """Framed-stream fuzz of the DEVICE pipeline (frame_batch_packed,
+    pipelined sub-batches, batched decode, device CRC when a real TPU
+    is attached — the same jitted graphs run in interpreter mode on
+    CPU): flush-heavy multi-part writes through SnappyWriter
+    (engine='tpu'), skippable/padding chunk injection, decode via
+    stream_decompress(engine='tpu'), oracle cross-checks."""
+    import io
+
+    from snappier_tpu.runtime import stream as pstream
+
+    rng = np.random.default_rng(seed + 7)
+    t0 = time.time()
+    nbytes = 0
+    for i in range(iters):
+        nparts = int(rng.integers(1, 6))
+        parts = [
+            gen_block(rng, int(rng.integers(1, 65537)))
+            for _ in range(nparts)
+        ]
+        data = b"".join(parts)
+        nbytes += len(data)
+        sink = io.BytesIO()
+        w = pstream.SnappyWriter(sink, engine="tpu", leave_open=True)
+        for p in parts:
+            w.write(p)
+            if rng.random() < 0.5:
+                w.flush()
+        w.close()
+        framed = sink.getvalue()
+        if rng.random() < 0.5:
+            # Legal skippable + padding chunks after the stream header.
+            pad = bytes([0xFE]) + (3).to_bytes(3, "little") + b"xyz"
+            skip = (
+                bytes([int(rng.integers(0x80, 0xFE))])
+                + (2).to_bytes(3, "little")
+                + b"ab"
+            )
+            framed = framed[:10] + pad + skip + framed[10:]
+        assert pstream.stream_decompress(framed, engine="tpu") == data, (
+            f"device stream roundtrip @ {i}"
+        )
+        if i % 10 == 0:
+            assert (
+                pstream.stream_decompress(framed, engine="oracle") == data
+            ), f"device->oracle @ {i}"
+    dt = time.time() - t0
+    print(
+        f"device-stream campaign: {iters} iters, {nbytes/1e6:.1f} MB, "
+        f"{dt:.1f}s — all exact"
+    )
+
+
 def main() -> None:
     native_iters = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
     scan_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
@@ -173,6 +231,7 @@ def main() -> None:
     run_native(native_iters, seed)
     run_stream(max(native_iters // 10, 100), seed)
     run_scan(scan_iters, seed)
+    run_stream_device(max(scan_iters // 100, 20), seed)
 
 
 if __name__ == "__main__":
