@@ -22,11 +22,59 @@ from snappier_tpu.ops.decode import decode_block
 from snappier_tpu.ops.encode import encode_block
 
 
+def _is_axon_tunnel() -> bool:
+    """True on the axon development tunnel (a remote single-chip TPU
+    attachment whose compile service wedges on shard_map+pallas_call —
+    docs/ROADMAP.md). Real pods return False."""
+    import os
+
+    if "axon" in os.environ.get("JAX_PLATFORMS", "").lower():
+        return True
+    try:
+        return "axon" in type(jax.devices()[0]).__name__.lower()
+    except Exception:  # pragma: no cover - backend init failure
+        return False
+
+
+@functools.cache
+def default_kernel(sharded: bool = False) -> str:
+    """THE backend-probed kernel choice, shared by the batched
+    (models/runtime) and sharded (parallel.mesh) paths — round-2 review
+    flagged that they answered this question differently, silently.
+
+    Order: ``SNAPPIER_KERNEL`` env override; 'scan' (portable XLA
+    kernels) off-TPU; 'scan' for *sharded* use on the axon tunnel
+    (shard_map of Pallas kernels wedges its remote-compile service);
+    otherwise the production 'scalar' Pallas kernels. Logged once per
+    (sharded) variant on logger ``snappier_tpu``."""
+    import logging
+    import os
+
+    k = os.environ.get("SNAPPIER_KERNEL")
+    if k in ("scalar", "scan"):
+        choice, why = k, "SNAPPIER_KERNEL override"
+    elif jax.default_backend() != "tpu":
+        choice = "scan"
+        why = f"portable kernels on the {jax.default_backend()} backend"
+    elif sharded and _is_axon_tunnel():
+        choice = "scan"
+        why = (
+            "axon tunnel: shard_map+pallas wedges its remote compiler; "
+            "real pods default to scalar (SNAPPIER_KERNEL=scalar forces)"
+        )
+    else:
+        choice, why = "scalar", "TPU backend, production Pallas kernels"
+    logging.getLogger("snappier_tpu").info(
+        "kernel=%s sharded=%s (%s)", choice, sharded, why
+    )
+    return choice
+
+
 def _default_kernel() -> str:
     """'scalar' (Pallas scalar-core codec) on real TPUs, 'scan' (the
     portable XLA parallel-scan codec) elsewhere. See
     ops/pallas/scalar_codec.py for the measured rationale."""
-    return "scalar" if jax.default_backend() == "tpu" else "scan"
+    return default_kernel()
 
 
 @jax.jit

@@ -38,12 +38,13 @@ BLOCK_AXIS = "blocks"
 
 
 def _default_kernel() -> str:
-    # The sharded paths default to the portable scan kernels: shard_map
-    # of the Pallas scalar kernels compiles fine per-device but hangs
-    # this environment's remote-compile service; pass kernel="scalar"
-    # explicitly on real pod slices. The single-host batched paths
-    # (models/codec.py) do use the scalar kernels on TPU.
-    return "scan"
+    # One shared backend probe (models.codec.default_kernel): scalar on
+    # real TPU pods, scan off-TPU and on the axon tunnel whose remote
+    # compiler wedges on shard_map+pallas. Logged once; override with
+    # SNAPPIER_KERNEL or the kernel= argument.
+    from snappier_tpu.models.codec import default_kernel
+
+    return default_kernel(sharded=True)
 
 
 def make_mesh(devices=None, n_devices: int | None = None) -> Mesh:

@@ -66,8 +66,10 @@ def _as_u8(data) -> np.ndarray:
 
 def _device_kernel() -> str:
     """Scalar-core Pallas kernels on real TPUs, portable scan kernels
-    elsewhere (see ops/pallas/scalar_codec.py for the rationale)."""
-    return "scalar" if jax.default_backend() == "tpu" else "scan"
+    elsewhere — one shared probe (models.codec.default_kernel)."""
+    from snappier_tpu.models.codec import default_kernel
+
+    return default_kernel()
 
 
 @functools.cache

@@ -44,8 +44,14 @@ def _build() -> bool:
 
 
 def load():
-    """The loaded library, or None if unavailable."""
+    """The loaded library, or None if unavailable. SNAPPIER_NO_NATIVE=1
+    disables it outright — the CI fallback matrix's analog of the
+    reference's COMPlus_EnableHWIntrinsics=0 legs (main.yml:24)."""
     global _lib, _load_failed
+    import os
+
+    if os.environ.get("SNAPPIER_NO_NATIVE"):
+        return None
     if _lib is not None or _load_failed:
         return _lib
     with _lock:

@@ -81,3 +81,25 @@ def test_snappy_stream_factory(tmp_path):
         assert r.read() == data
     with pytest.raises(ValueError):
         SnappyStream(io.BytesIO(), "a+")
+
+
+def test_default_kernel_unified(monkeypatch):
+    """Round-2 review: mesh and codec answered 'which kernel' two
+    different ways. One shared probe now serves both, with an env
+    override and a logged choice."""
+    from snappier_tpu.models import codec as C
+    from snappier_tpu.parallel import mesh
+
+    C.default_kernel.cache_clear()
+    try:
+        monkeypatch.setenv("SNAPPIER_KERNEL", "scalar")
+        assert C.default_kernel() == "scalar"
+        assert mesh._default_kernel() == "scalar"
+        C.default_kernel.cache_clear()
+        monkeypatch.delenv("SNAPPIER_KERNEL")
+        # Hermetic CPU backend: portable kernels on both paths.
+        assert C.default_kernel() == "scan"
+        assert C.default_kernel(sharded=True) == "scan"
+        assert C._default_kernel() == mesh._default_kernel()
+    finally:
+        C.default_kernel.cache_clear()

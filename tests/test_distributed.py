@@ -36,10 +36,21 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
-def test_two_process_sharded_compress(tmp_path):
+@pytest.mark.parametrize(
+    "nprocs,devs_per_proc,n_blocks",
+    [
+        (2, 4, 8),  # the original 2-host shape
+        (4, 2, 16),  # wider host fan-out, fewer devices per host
+    ],
+)
+def test_multi_process_sharded_compress(
+    tmp_path, nprocs, devs_per_proc, n_blocks
+):
     port = _free_port()
     env = dict(os.environ)
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={devs_per_proc}"
+    )
     env.pop("JAX_PLATFORMS", None)
     procs = [
         subprocess.Popen(
@@ -47,15 +58,16 @@ def test_two_process_sharded_compress(tmp_path):
                 sys.executable,
                 str(REPO / "tools" / "dist_worker.py"),
                 f"localhost:{port}",
-                "2",
+                str(nprocs),
                 str(pid),
                 str(tmp_path),
+                str(n_blocks),
             ],
             env=env,
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
         )
-        for pid in range(2)
+        for pid in range(nprocs)
     ]
     logs = []
     try:
@@ -76,34 +88,39 @@ def test_two_process_sharded_compress(tmp_path):
 
     metas = [
         json.loads((tmp_path / f"meta_{pid}.json").read_text())
-        for pid in range(2)
+        for pid in range(nprocs)
     ]
     payloads = [
         np.frombuffer(
             (tmp_path / f"payload_{pid}.bin").read_bytes(), np.uint8
         )
-        for pid in range(2)
+        for pid in range(nprocs)
     ]
 
-    # Identical assembly maps on both processes.
-    assert metas[0]["block_lengths"] == metas[1]["block_lengths"]
-    assert metas[0]["block_offsets"] == metas[1]["block_offsets"]
-    assert metas[0]["process_count"] == 2
-    assert len(payloads[0]) == len(payloads[1])
+    # Identical assembly maps on every process.
+    for m in metas[1:]:
+        assert m["block_lengths"] == metas[0]["block_lengths"]
+        assert m["block_offsets"] == metas[0]["block_offsets"]
+    assert metas[0]["process_count"] == nprocs
+    assert len({len(p) for p in payloads}) == 1
 
-    # Local blocks partition the batch.
+    # Local blocks partition the batch (disjoint, complete, non-empty).
     nblocks = len(metas[0]["block_lengths"])
-    lb0, lb1 = set(metas[0]["local_blocks"]), set(metas[1]["local_blocks"])
-    assert lb0.isdisjoint(lb1)
-    assert lb0 | lb1 == set(range(nblocks))
-    assert lb0 and lb1  # both processes actually produced payload bytes
+    locals_ = [set(m["local_blocks"]) for m in metas]
+    union: set = set()
+    for lb in locals_:
+        assert lb, "a process produced no blocks"
+        assert union.isdisjoint(lb)
+        union |= lb
+    assert union == set(range(nblocks))
 
     # Union of the disjoint partial payloads = complete bit-exact stream.
     combined = payloads[0].copy()
-    for i in metas[1]["local_blocks"]:
-        o = metas[1]["block_offsets"][i]
-        ln = metas[1]["block_lengths"][i]
-        combined[o : o + ln] = payloads[1][o : o + ln]
+    for m, p in zip(metas[1:], payloads[1:]):
+        for i in m["local_blocks"]:
+            o = m["block_offsets"][i]
+            ln = m["block_lengths"][i]
+            combined[o : o + ln] = p[o : o + ln]
 
     import importlib.util
 
@@ -115,5 +132,5 @@ def test_two_process_sharded_compress(tmp_path):
 
     from snappier_tpu.format import oracle
 
-    data = dist_worker.corpus(8)
+    data = dist_worker.corpus(n_blocks)
     assert oracle.decompress(combined.tobytes()) == data

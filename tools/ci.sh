@@ -16,3 +16,9 @@ dryrun_multichip(8)
 EOF
 
 python benchmarks/run_all.py --quick --fuzz
+
+# No-native fallback leg (reference matrix analog: intrinsics off).
+SNAPPIER_NO_NATIVE=1 python -m pytest tests/test_block_api.py tests/test_stream.py -q
+
+# Multi-host ordered assembly at reduced size (full 256 MB: no args).
+python tools/rehearsal_multihost.py 256 4 2

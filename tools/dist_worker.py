@@ -24,9 +24,9 @@ def corpus(n_blocks: int) -> bytes:
     from snappier_tpu.constants import BLOCK_SIZE
 
     rng = np.random.default_rng(1234)
-    text = (b"distributed ordered assembly over localhost " * 40000)[
-        : n_blocks * BLOCK_SIZE - 777
-    ]
+    target = n_blocks * BLOCK_SIZE - 777
+    unit = b"distributed ordered assembly over localhost "
+    text = (unit * (target // len(unit) + 1))[:target]
     arr = np.frombuffer(text, np.uint8).copy()
     noise = rng.integers(0, 256, len(arr) // 7, dtype=np.uint8)
     arr[: len(noise)] = noise
@@ -35,6 +35,7 @@ def corpus(n_blocks: int) -> bytes:
 
 def main() -> None:
     coordinator, num, pid, outdir = sys.argv[1:5]
+    n_blocks = int(sys.argv[5]) if len(sys.argv) > 5 else 8
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -46,7 +47,7 @@ def main() -> None:
         process_id=int(pid),
     )
     assert jax.process_count() == int(num)
-    data = corpus(8)
+    data = corpus(n_blocks)
     payload, meta = distributed.compress_corpus_sharded(data)
     out = pathlib.Path(outdir)
     (out / f"payload_{pid}.bin").write_bytes(payload)
