@@ -508,7 +508,14 @@ _HASH_MUL = 0x1E35A7BD  # HashTable.cs magic-multiply form
 
 def _encode_kernel(keys_ref, hashes_ref, lens_ref, out_ref, outlen_ref,
                    key_smem, hash_smem, out_smem, table_smem, sem_in,
-                   sem_hash, sem_out, *, hash_bits=_HASH_BITS, skip_base=32):
+                   sem_hash, sem_out, *, hash_bits=_HASH_BITS, skip_base=32,
+                   exact_cands=False):
+    # With exact_cands (level="best"), hashes_ref/hash_smem carry the
+    # VPU-precomputed widest-first nearest-match candidate per position
+    # (ops.best_match.exact_candidates) instead of hashes; the walk
+    # verifies each candidate's first 4 bytes exactly and measures the
+    # true extension, so fingerprint collisions cannot corrupt output.
+    # table_smem is a dummy in that mode (no hash table at all).
     b = pl.program_id(0)
     fc = key_smem.shape[0]  # padded: fragment + 1024 slack (overreads)
     # Output image: fragment + 2048. Greedy emission is provably
@@ -658,8 +665,9 @@ def _encode_kernel(keys_ref, hashes_ref, lens_ref, out_ref, outlen_ref,
         # key(cand) == cur before use.
         def ext_body(st):
             m, _ = st
-            p = jnp.minimum(at + m - 3, n - 5)
-            table_smem[hash_smem[p]] = epoch | p
+            if not exact_cands:  # no table to seed in best mode
+                p = jnp.minimum(at + m - 3, n - 5)
+                table_smem[hash_smem[p]] = epoch | p
             return m + 4, key(at + m) == key(cand + m)
 
         def ext_cond(st):
@@ -685,6 +693,40 @@ def _encode_kernel(keys_ref, hashes_ref, lens_ref, out_ref, outlen_ref,
         op3 = emit_copy(op2, at - cand, m)
         end = at + m
         return end, end, op3, jnp.int32(skip_base)
+
+    if exact_cands:
+
+        def scan_body(st):
+            # level="best" walk: one precomputed candidate per position
+            # (widest-first nearest match), verified exactly on its
+            # first 4 bytes. No table, no hashing; a gentle skip stride
+            # (>> 7) keeps incompressible stretches bounded while
+            # barely costing density.
+            ip, lit_start, op, skip = st
+            c = hash_smem[ip]
+            hit = (c >= 0) & (key_v(c) == key(ip))
+            return jax.lax.cond(
+                hit,
+                lambda: on_hit(ip, c, lit_start, op),
+                lambda: (
+                    ip + 1 + (skip >> 7), lit_start, op, skip + 1
+                ),
+            )
+
+        ip, lit_start, op, skip = jax.lax.while_loop(
+            scan_cond, scan_body,
+            (jnp.minimum(jnp.int32(1), n), jnp.int32(0), jnp.int32(0),
+             jnp.int32(skip_base)),
+        )
+        op = emit_literal_checked(op, lit_start, n)
+        outlen_ref[b] = op
+
+        cp_out = pltpu.make_async_copy(
+            out_smem, out_ref.at[pl.ds(b * oc, oc)], sem_out
+        )
+        cp_out.start()
+        cp_out.wait()
+        return
 
     def scan_body(st):
         ip, lit_start, op, skip = st
@@ -834,4 +876,82 @@ def encode_blocks_scalar(
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(keys.reshape(-1), hashes.reshape(-1), lengths.astype(jnp.int32))
+    return bodies.reshape(B, oc), body_lens
+
+
+def encode_blocks_best(
+    frags,
+    lengths,
+    widths: tuple = (4, 8, 16, 32, 64),
+    skip_base: int = 32,
+    interpret: bool | None = None,
+):
+    """``level="best"`` encoder: the scalar emission walk driven by
+    VPU-precomputed exact-nearest multi-width candidates
+    (ops.best_match.exact_candidates) instead of a lossy hash table.
+
+    Matches the rank-doubling scan engine's density (prototype: 0.2115
+    vs 0.2119 on html's first 64 KiB; reference greedy 0.2406) at sort
+    cost — ~2 row sorts per width — instead of the scan engine's ~50
+    gather passes. Same output contract as encode_blocks_scalar.
+
+    Deliberately TWO dispatches (candidate jit, then pallas jit), not
+    one fused program: a sort prepass and an interpreter-mode
+    pallas_call fused into one XLA:CPU executable mis-executes on
+    repeat dispatch after a batch-size change ("supplied 2 buffers but
+    expected 4", round-3 finding, minimal repro in the test below) —
+    and callers must NOT re-wrap this function in jit for the same
+    reason. Two dispatches are noise at best-level granularity."""
+    from snappier_tpu.ops.best_match import exact_candidates
+
+    cands = exact_candidates(frags, lengths, widths=widths)
+    return _encode_best_pallas(
+        frags, lengths, cands, skip_base=skip_base, interpret=interpret
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "skip_base"))
+def _encode_best_pallas(frags, lengths, cands, skip_base=32,
+                        interpret: bool | None = None):
+    if interpret is None:
+        interpret = _interpret_default()
+    frags = frags.astype(jnp.int32)
+    B, F = frags.shape
+    assert F % 1024 == 0 and F <= BLOCK_SIZE
+    oc = F + 2048
+    keys = _keys_from_frags(frags)
+    cands = jnp.concatenate(
+        [cands.astype(jnp.int32), jnp.full((B, 1024), -1, jnp.int32)],
+        axis=1,
+    )
+    bodies, body_lens = pl.pallas_call(
+        functools.partial(
+            _encode_kernel, skip_base=skip_base, exact_cands=True
+        ),
+        grid=(B,),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * oc,), jnp.int32),
+            jax.ShapeDtypeStruct((B,), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((F + 1024,), jnp.int32),  # keys + overread slack
+            pltpu.SMEM((F + 1024,), jnp.int32),  # candidates
+            pltpu.SMEM((oc,), jnp.int32),
+            pltpu.SMEM((8,), jnp.int32),  # dummy (no table in best mode)
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(keys.reshape(-1), cands.reshape(-1), lengths.astype(jnp.int32))
     return bodies.reshape(B, oc), body_lens

@@ -76,6 +76,21 @@ def _device_kernel() -> str:
 def _encode_batch_fn(
     hash_bits: int = 15, skip_base: int = 32, kernel: str | None = None
 ):
+    if kernel == "best":
+        # level="best": exact-nearest multi-width candidates (VPU sort
+        # prepass) + the scalar emission walk — scan-engine density at
+        # a fraction of its cost (ops/best_match.py). NOT wrapped in an
+        # outer jit: the sort prepass and the pallas call must stay two
+        # dispatches (see encode_blocks_best's docstring).
+        from snappier_tpu.ops.pallas.scalar_codec import encode_blocks_best
+
+        def outer(fs, ls):
+            bodies, body_lens = encode_blocks_best(
+                fs, ls, skip_base=skip_base
+            )
+            return bodies.astype(jnp.uint8), body_lens
+
+        return outer
     if (kernel or _device_kernel()) == "scalar":
         from snappier_tpu.ops.pallas.scalar_codec import encode_blocks_scalar
 
@@ -206,10 +221,11 @@ def compress(data, engine: str = "auto", level: str = "fast") -> bytes:
 
     ``level`` goes beyond the reference (which has one mode):
     ``"fast"`` is the greedy lossy-table encoder (the reference's
-    algorithm class); ``"best"`` routes to the parallel-scan engine's
-    exact rank-doubling match finder — denser matches than any
-    hash-table greedy pass (ratio 0.191 vs 0.222 on html), at
-    sort-pipeline cost. ``"best"`` is a device-engine feature; explicit
+    algorithm class); ``"best"`` drives the same scalar emission walk
+    with exact-nearest multi-width candidates from a VPU sort prepass
+    (ops/best_match.py) — rank-doubling-scan density (0.2115 vs greedy
+    0.2406 on html's first 64 KiB) at a fraction of the round-2 scan
+    pipeline's cost. ``"best"`` is a device-engine feature; explicit
     host engines raise."""
     if level not in ("fast", "best"):
         raise ValueError(f"unknown level {level!r}")
@@ -237,7 +253,7 @@ def compress(data, engine: str = "auto", level: str = "fast") -> bytes:
         frags[i, : len(frag)] = frag
         lengths[i] = len(frag)
     bodies, body_lens = compress_fragments(
-        frags, lengths, kernel="scan" if level == "best" else None
+        frags, lengths, kernel="best" if level == "best" else None
     )
     bodies = np.asarray(bodies)
     body_lens = np.asarray(body_lens)

@@ -221,3 +221,30 @@ def test_compress_level_best_beats_greedy_ratio():
         block.compress(data, engine="native", level="best")
     with pytest.raises(ValueError):
         block.compress(data, level="bogus")
+
+
+def test_level_best_edge_cases_and_density():
+    """Round-3 'best': exact-nearest multi-width candidates + scalar
+    walk. Must round-trip edge shapes and beat the greedy ratio on
+    compressible data."""
+    from snappier_tpu.format import oracle
+    from snappier_tpu.runtime import block
+
+    cases = [
+        b"",
+        b"a",
+        b"ab" * 40,
+        b"x" * 70000,  # multi-fragment long run
+        np.random.default_rng(3).integers(
+            0, 256, 66000, dtype=np.uint8
+        ).tobytes(),  # incompressible across a fragment boundary
+    ]
+    for data in cases:
+        best = block.compress(data, level="best")
+        assert block.decompress(best, engine="oracle") == data
+
+    html = load_corpus_file("html")
+    greedy = oracle.compress(html)  # reference-style greedy baseline
+    best = block.compress(html, level="best")
+    assert oracle.decompress(best) == html
+    assert len(best) < len(greedy) * 0.92  # measurably denser

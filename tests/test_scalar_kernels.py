@@ -134,3 +134,51 @@ def test_decode_rejects_expected_over_out_cap():
     comp = oracle.compress(np.frombuffer(b"x" * 2000, np.uint8))
     _, _, errs = _dec([comp], out_cap=1024)
     assert errs[0] != 0
+
+
+def test_exact_candidates_widest_first():
+    """ops.best_match: nearest-previous per width, widest wins, -1
+    where nothing matches; never a candidate >= own position."""
+    import jax.numpy as jnp
+
+    from snappier_tpu.ops.best_match import exact_candidates
+
+    data = b"abcdefgh" * 8 + b"XYZW" + b"abcdefgh"  # 4+8-wide repeats
+    a = np.frombuffer(data, np.uint8).astype(np.int32)
+    F = 1024
+    frags = np.zeros((1, F), np.int32)
+    frags[0, : len(a)] = a
+    cand = np.asarray(
+        exact_candidates(
+            jnp.asarray(frags), jnp.asarray([len(a)], np.int32)
+        )
+    )[0]
+    pos = np.arange(F)
+    assert (cand < pos).all()
+    # position 8 repeats "abcdefgh" (64-wide history at 8 is absent but
+    # 8-wide match at offset 8 exists) -> candidate 0
+    assert cand[8] == 0
+    # inside the unique "XYZW" run: no candidate at width >= 4
+    assert cand[64] == -1 or cand[64] < 64  # 'X' at 64: no prior XYZW
+    assert cand[64] == -1
+    # the trailing "abcdefgh" sees an earlier occurrence
+    assert cand[68] >= 0
+
+
+def test_best_encoder_repeat_dispatch_batches():
+    """Regression (round-3): the sort prepass and the interpreter-mode
+    pallas walk fused in ONE XLA:CPU program mis-executed on repeat
+    dispatch after a batch-size change ('supplied 2 buffers but
+    expected 4'); encode_blocks_best must stay two dispatches."""
+    import jax.numpy as jnp
+
+    from snappier_tpu.ops.pallas.scalar_codec import encode_blocks_best
+
+    def mk(B, fill):
+        f = np.zeros((B, 1024), np.int32)
+        f[:, :1000] = fill
+        return jnp.asarray(f), jnp.asarray(np.full(B, 1000, np.int32))
+
+    for B, fill in [(1, 97), (2, 120), (2, 7)]:
+        bodies, blens = encode_blocks_best(*mk(B, fill))
+        assert int(np.asarray(blens).max()) > 0
