@@ -518,13 +518,15 @@ def _encode_kernel(keys_ref, hashes_ref, lens_ref, out_ref, outlen_ref,
     # table_smem is a dummy in that mode (no hash table at all).
     b = pl.program_id(0)
     fc = key_smem.shape[0]  # padded: fragment + 1024 slack (overreads)
-    # Output image: fragment + 2048. Greedy emission is provably
-    # <= n + n//65 + 8 (constants.greedy_emit_bound: copies never
-    # expand, literal runs add <= 1 byte per 65 covered), i.e. 66552
-    # for a full fragment — so even with the sloppy 8-byte copy
-    # overshoot every store lands >= 1 KiB inside the image and the
-    # unclipped payload loops below cannot write out of bounds.
-    oc = out_smem.shape[0]
+    # Output image: WORD-PACKED (4 LE bytes per int32), sized
+    # (fragment + 2048)/4 words rounded up to the 1024-word DMA tiling.
+    # Greedy emission is provably <= n + n//65 + 8 bytes
+    # (constants.greedy_emit_bound: copies never expand, literal runs
+    # add <= 1 byte per 65 covered), i.e. 66552 for a full fragment —
+    # so even with the sloppy word spills every store lands well inside
+    # the image and the unclipped payload loops cannot write out of
+    # bounds.
+    oc = out_smem.shape[0]  # words
     n = lens_ref[b]
 
     cp_in = pltpu.make_async_copy(
@@ -557,76 +559,104 @@ def _encode_kernel(keys_ref, hashes_ref, lens_ref, out_ref, outlen_ref,
     # never cleared (a scalar clear would cost more than the scan).
     epoch = ((b & 0x7FFF) + 1) << 16
 
-    def emit_literal(op, lit_start, lit_end):
-        """Literal tag + payload (SnappyCompressor.cs:417-464)."""
-        llen = lit_end - lit_start
+    # --- emission into the word-packed output image ---------------------
+    # Round-3 rework: the output is 4 LE bytes per int32 (like the
+    # decoder's), written with the same garbage-tail contract — bytes
+    # >= the emission frontier are garbage until a later tag overwrites
+    # them, and every writer merge-preserves only bytes below its own
+    # start. Tag bytes go through a read-modify-write of the frontier
+    # word plus one unconditional spill store; literal payloads copy
+    # PRE-FUNNELED words straight out of the key image (key(i) IS the
+    # unaligned 32-bit window at byte i), one load + one store per 4
+    # bytes instead of 3 ops per byte. Quarter the output DMA, and the
+    # two ~50-cycle lax.conds per literal plus one per copy are gone.
 
-        def short_case():
-            out_smem[jnp.clip(op, 0, oc - 1)] = (llen - 1) << 2
-            return op + 1
+    def tag3(p, tagword):
+        """Store 3 tag bytes of tagword at byte offset p (RMW merge +
+        unconditional spill of the shifted remainder into the next
+        word — garbage above the frontier, overwritten later)."""
+        w = p >> 2
+        da8 = (p & 3) * 8
+        out_smem[w] = (out_smem[w] & ((1 << da8) - 1)) | (tagword << da8)
+        # (t >> 1) >> (31 - da8) == t >> (32 - da8) without the
+        # undefined shift-by-32 lane at da8 == 0.
+        out_smem[w + 1] = jax.lax.shift_right_logical(
+            jax.lax.shift_right_logical(tagword, 1), 31 - da8
+        )
 
-        def long_case():
-            # llen <= 65536 -> at most 2 extra length bytes.
-            extra = jnp.where(llen <= 256, 1, 2)
-            out_smem[jnp.clip(op, 0, oc - 1)] = (59 + extra) << 2
-            out_smem[jnp.clip(op + 1, 0, oc - 1)] = (llen - 1) & 0xFF
-            @pl.when(extra == 2)
+    def emit_literal_stores(op, lit_start, llen):
+        """Literal tag + payload stores (SnappyCompressor.cs:417-464);
+        requires llen >= 1. The payload streams from the key image."""
+        lm1 = llen - 1
+        extra = jnp.where(llen > 256, 2, jnp.where(llen > 60, 1, 0))
+        b0 = jnp.where(extra == 0, lm1 << 2, (59 + extra) << 2)
+        tag3(op, b0 | ((lm1 & 0xFF) << 8) | (((lm1 >> 8) & 0xFF) << 16))
+        q = op + 1 + extra
+        w0 = q >> 2
+        da8 = (q & 3) * 8
+        out_smem[w0] = (out_smem[w0] & ((1 << da8) - 1)) | (
+            key(lit_start) << da8
+        )
+        s1 = lit_start + 4 - (q & 3)
+        nw = ((q + llen - 1) >> 2) - w0  # words after w0
+
+        @pl.when(nw > 0)
+        def _():
+            out_smem[w0 + 1] = key(s1)
+            out_smem[w0 + 2] = key(s1 + 4)
+
+            @pl.when(nw > 2)
             def _():
-                out_smem[jnp.clip(op + 2, 0, oc - 1)] = ((llen - 1) >> 8) & 0xFF
-            return op + 1 + extra
+                out_smem[w0 + 3] = key(s1 + 8)
+                out_smem[w0 + 4] = key(s1 + 12)
 
-        op = jax.lax.cond(llen <= MAX_SHORT_LITERAL, short_case, long_case)
+                @pl.when(nw > 4)
+                def _():
+                    def cp(k, _):
+                        w = w0 + 5 + 4 * k
+                        s = s1 + 16 + 16 * k
+                        out_smem[w] = key(s)
+                        out_smem[w + 1] = key(s + 4)
+                        out_smem[w + 2] = key(s + 8)
+                        out_smem[w + 3] = key(s + 12)
+                        return 0
 
-        chunks = (llen + _UNROLL - 1) // _UNROLL  # sloppy overshoot
-
-        def cp(k, _):
-            base = op + k * _UNROLL
-            sb = lit_start + k * _UNROLL
-            for u in range(_UNROLL):
-                out_smem[base + u] = key_smem[sb + u] & 0xFF
-            return 0
-
-        # Entering a data-dependent fori costs ~20 ns (cliff probe,
-        # docs/ROADMAP.md); most html literals are <= 8 bytes, so the
-        # single-chunk case runs the unrolled body straight-line.
-        @pl.when(chunks == 1)
-        def _():
-            cp(0, 0)
-
-        @pl.when(chunks > 1)
-        def _():
-            jax.lax.fori_loop(0, chunks, cp, 0, unroll=False)
-
-        return op + llen
+                    jax.lax.fori_loop(0, (nw - 1) >> 2, cp, 0,
+                                      unroll=False)
 
     def emit_literal_checked(op, lit_start, lit_end):
-        return jax.lax.cond(
-            lit_end > lit_start,
-            lambda: emit_literal(op, lit_start, lit_end),
-            lambda: op,
-        )
+        """Branchless wrapper: stores under a cheap pl.when, the
+        advance computed arithmetically (the two lax.conds this
+        replaces cost ~50 cycles each)."""
+        llen = lit_end - lit_start
+
+        @pl.when(llen > 0)
+        def _():
+            emit_literal_stores(op, lit_start, llen)
+
+        extra = jnp.where(llen > 256, 2, jnp.where(llen > 60, 1, 0))
+        return op + jnp.where(llen > 0, 1 + extra + llen, 0)
 
     def emit_copy_upto64(op, off, length):
         """One copy tag (SnappyCompressor.cs:466-505), branch-free:
         both tag forms are computed, the copy-1 form selected when it
         applies, and 3 bytes always stored — the copy-1 overstore at
-        op+2 is overwritten by the next tag (>= 1 KiB image slack).
-        Measured on chip: kills a ~50-cycle lax.cond per copy."""
+        op+2 is garbage above the frontier. Measured on chip: kills a
+        ~50-cycle lax.cond per copy."""
         is1 = (length <= 11) & (off < 2048)
         b0 = jnp.where(
             is1,
             1 | ((length - 4) << 2) | ((off >> 8) << 5),
             2 | ((length - 1) << 2),
         )
-        p = jnp.clip(op, 0, oc - 3)
-        out_smem[p] = b0
-        out_smem[p + 1] = off & 0xFF
-        out_smem[p + 2] = (off >> 8) & 0xFF
+        tag3(op, b0 | ((off & 0xFF) << 8) | (((off >> 8) & 0xFF) << 16))
         return op + jnp.where(is1, 2, 3)
 
     def emit_copy(op, off, length):
         """Repeated-64 emission with the 64<len<68 split
-        (SnappyCompressor.cs:507-543)."""
+        (SnappyCompressor.cs:507-543), the split branchless: the second
+        tag is always stored (garbage above the frontier when unsplit)
+        and only the advance is conditional."""
         def big_cond(st):
             op, length = st
             return length >= 68
@@ -636,16 +666,11 @@ def _encode_kernel(keys_ref, hashes_ref, lens_ref, out_ref, outlen_ref,
             return emit_copy_upto64(op, off, 64), length - 64
 
         op, length = jax.lax.while_loop(big_cond, big_body, (op, length))
-
-        def split_case(op, length):
-            op = emit_copy_upto64(op, off, 60)
-            return emit_copy_upto64(op, off, length - 60)
-
-        return jax.lax.cond(
-            length > 64,
-            lambda: split_case(op, length),
-            lambda: emit_copy_upto64(op, off, length),
-        )
+        is_split = length > 64
+        l1 = jnp.where(is_split, 60, length)
+        op1 = emit_copy_upto64(op, off, l1)
+        op2 = emit_copy_upto64(op1, off, jnp.maximum(length - 60, 4))
+        return jnp.where(is_split, op2, op1)
 
     margin = 15  # InputMarginBytes (Constants.cs:27)
 
@@ -806,6 +831,18 @@ def _keys_from_frags(frags):
     return jnp.concatenate([keys, jnp.zeros((B, 1024), jnp.int32)], axis=1)
 
 
+def _unpack_bodies(ow, oc):
+    """Word-packed emission image (B, ocw) -> byte-per-int32 bodies
+    (B, oc), the wrapper-level API contract (cheap XLA elementwise;
+    fuses away when the caller repacks for transfer)."""
+    B, ocw = ow.shape
+    sh = jnp.arange(4, dtype=jnp.int32) * 8
+    by = (
+        jax.lax.shift_right_logical(ow[:, :, None], sh[None, None, :]) & 0xFF
+    ).reshape(B, ocw * 4)
+    return by[:, :oc]
+
+
 @functools.partial(
     jax.jit, static_argnames=("interpret", "hash_bits", "skip_base")
 )
@@ -839,6 +876,7 @@ def encode_blocks_scalar(
     assert F % 1024 == 0 and F <= BLOCK_SIZE  # 1-D DMA tiling
     assert 8 <= hash_bits <= 16
     oc = F + 2048  # provable emission bound + >=1 KiB margin (see kernel)
+    ocw = -(-(oc // 4) // 1024) * 1024  # word-packed image, DMA-tiled
     keys = _keys_from_frags(frags)
     # Hashes precomputed on the VPU (one vector multiply) instead of 4
     # scalar multiplies per probe group in-kernel (HashTable.cs:91-126
@@ -846,13 +884,13 @@ def encode_blocks_scalar(
     hashes = jax.lax.shift_right_logical(
         keys * _HASH_MUL, 32 - hash_bits
     ) & ((1 << hash_bits) - 1)
-    bodies, body_lens = pl.pallas_call(
+    ow, body_lens = pl.pallas_call(
         functools.partial(
             _encode_kernel, hash_bits=hash_bits, skip_base=skip_base
         ),
         grid=(B,),
         out_shape=(
-            jax.ShapeDtypeStruct((B * oc,), jnp.int32),
+            jax.ShapeDtypeStruct((B * ocw,), jnp.int32),
             jax.ShapeDtypeStruct((B,), jnp.int32),
         ),
         in_specs=[
@@ -867,7 +905,7 @@ def encode_blocks_scalar(
         scratch_shapes=[
             pltpu.SMEM((F + 1024,), jnp.int32),  # overread slack
             pltpu.SMEM((F + 1024,), jnp.int32),  # precomputed hashes
-            pltpu.SMEM((oc,), jnp.int32),
+            pltpu.SMEM((ocw,), jnp.int32),  # word-packed output image
             pltpu.SMEM((1 << hash_bits,), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
@@ -876,7 +914,7 @@ def encode_blocks_scalar(
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(keys.reshape(-1), hashes.reshape(-1), lengths.astype(jnp.int32))
-    return bodies.reshape(B, oc), body_lens
+    return _unpack_bodies(ow.reshape(B, ocw), oc), body_lens
 
 
 def encode_blocks_best(
@@ -919,18 +957,19 @@ def _encode_best_pallas(frags, lengths, cands, skip_base=32,
     B, F = frags.shape
     assert F % 1024 == 0 and F <= BLOCK_SIZE
     oc = F + 2048
+    ocw = -(-(oc // 4) // 1024) * 1024  # word-packed image, DMA-tiled
     keys = _keys_from_frags(frags)
     cands = jnp.concatenate(
         [cands.astype(jnp.int32), jnp.full((B, 1024), -1, jnp.int32)],
         axis=1,
     )
-    bodies, body_lens = pl.pallas_call(
+    ow, body_lens = pl.pallas_call(
         functools.partial(
             _encode_kernel, skip_base=skip_base, exact_cands=True
         ),
         grid=(B,),
         out_shape=(
-            jax.ShapeDtypeStruct((B * oc,), jnp.int32),
+            jax.ShapeDtypeStruct((B * ocw,), jnp.int32),
             jax.ShapeDtypeStruct((B,), jnp.int32),
         ),
         in_specs=[
@@ -945,7 +984,7 @@ def _encode_best_pallas(frags, lengths, cands, skip_base=32,
         scratch_shapes=[
             pltpu.SMEM((F + 1024,), jnp.int32),  # keys + overread slack
             pltpu.SMEM((F + 1024,), jnp.int32),  # candidates
-            pltpu.SMEM((oc,), jnp.int32),
+            pltpu.SMEM((ocw,), jnp.int32),  # word-packed output image
             pltpu.SMEM((8,), jnp.int32),  # dummy (no table in best mode)
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
@@ -954,4 +993,4 @@ def _encode_best_pallas(frags, lengths, cands, skip_base=32,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(keys.reshape(-1), cands.reshape(-1), lengths.astype(jnp.int32))
-    return bodies.reshape(B, oc), body_lens
+    return _unpack_bodies(ow.reshape(B, ocw), oc), body_lens
