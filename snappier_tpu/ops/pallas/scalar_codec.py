@@ -12,13 +12,16 @@ split between tag bookkeeping and bulk copies
 (SnappyDecompressor.cs:184-347 / CopyHelpers.cs), re-hosted on the
 TPU's scalar+DMA machinery.
 
-Layout: one grid program per block; the compressed row is DMA'd
-HBM->SMEM as a word-packed image (4 bytes per int32 — the tag walk is
-latency-bound on dependent SMEM loads, and copies stream through
-funnel shifts at ~4 bytes per load/store pair), decoded
-scalar-sequentially into a word-packed SMEM output image, and DMA'd
-back out. Measured findings that shaped
-the kernels are recorded in docs/ARCHITECTURE.md and docs/ROADMAP.md
+Layout (round 3): one grid program per block. BYTE-ADDRESSED reads come
+from KEY images — one int32 per byte holding the unaligned 32-bit LE
+window at that byte, built by one XLA elementwise pass — so every tag
+parse, candidate probe, and literal-payload read is a single SMEM load
+(the image pre-funnels all four alignments). WORD-PACKED images (4 LE
+bytes per int32) carry everything written incrementally: the decoder's
+output (copy sources reference it, streamed through funnel shifts) and
+the encoder's emission image (tag RMW merges + pre-funneled payload
+words), quartering the output DMA. Measured findings that shaped the
+kernels are recorded in docs/ARCHITECTURE.md and docs/ROADMAP.md
 (including the negative results: conditional probes serialize; the
 decode walk is serial-dependency-bound).
 """

@@ -255,8 +255,9 @@ def compress(data, engine: str = "auto", level: str = "fast") -> bytes:
     bodies, body_lens = compress_fragments(
         frags, lengths, kernel="best" if level == "best" else None
     )
-    bodies = np.asarray(bodies)
-    body_lens = np.asarray(body_lens)
+    # One fused fetch (device_get of the tuple) instead of two
+    # round trips through the host link.
+    bodies, body_lens = jax.device_get((bodies, body_lens))
     check_body_lens(bodies.shape[1], body_lens)
     out = bytearray(write_varint(n))
     for i in range(nfrags):
@@ -290,9 +291,9 @@ def decompress(data, engine: str = "auto") -> bytes:
     outs, out_lens, errs = decompress_blocks(
         buf, np.array([len(arr)], np.int32), out_cap
     )
-    _raise_for_err(int(np.asarray(errs)[0]))
-    out_len = int(np.asarray(out_lens)[0])
-    return np.asarray(outs)[0, :out_len].astype(np.uint8).tobytes()
+    outs, out_lens, errs = jax.device_get((outs, out_lens, errs))
+    _raise_for_err(int(errs[0]))
+    return outs[0, : int(out_lens[0])].astype(np.uint8).tobytes()
 
 
 def _decompress_multiblock(arr: np.ndarray) -> bytes:
@@ -318,9 +319,8 @@ def _decompress_multiblock(arr: np.ndarray) -> bytes:
     outs, out_lens, errs = decompress_blocks(
         comp, comp_lens, out_cap=BLOCK_SIZE
     )
-    outs = np.asarray(outs)
-    out_lens = np.asarray(out_lens)
-    for i, e in enumerate(np.asarray(errs)):
+    outs, out_lens, errs = jax.device_get((outs, out_lens, errs))
+    for i, e in enumerate(errs):
         _raise_for_err(int(e))
         if int(out_lens[i]) != int(out_lens_exp[i]):
             raise InvalidDataError("fragment output length mismatch")
