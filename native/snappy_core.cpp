@@ -612,7 +612,32 @@ int stpu_stream_decompress(const uint8_t* input, size_t n, uint8_t* out,
   return STPU_OK;
 }
 
+#if defined(__x86_64__)
+// Hardware CRC32C (SSE4.2), the same intrinsic path the reference
+// takes on x64 (Crc32CAlgorithm.cs:46-154). Runtime-dispatched so the
+// library stays buildable/runnable without the instruction; the
+// serial-chain u64 form runs ~8 GB/s (3-cycle latency bound), ~6x the
+// slicing-by-8 table walk below.
+__attribute__((target("sse4.2"))) static uint32_t crc32c_hw(
+    const uint8_t* data, size_t n, uint32_t c) {
+  uint64_t c64 = c;
+  size_t i = 0;
+  for (; i + 8 <= n; i += 8) {
+    uint64_t v;
+    std::memcpy(&v, data + i, 8);
+    c64 = __builtin_ia32_crc32di(c64, v);
+  }
+  uint32_t cc = static_cast<uint32_t>(c64);
+  for (; i < n; ++i) cc = __builtin_ia32_crc32qi(cc, data[i]);
+  return cc;
+}
+#endif
+
 uint32_t stpu_crc32c(const uint8_t* data, size_t n, uint32_t crc) {
+#if defined(__x86_64__)
+  if (__builtin_cpu_supports("sse4.2"))
+    return crc32c_hw(data, n, crc ^ 0xffffffffu) ^ 0xffffffffu;
+#endif
   if (!crc_init_done) crc_init();
   uint32_t c = crc ^ 0xffffffffu;
   size_t i = 0;
