@@ -182,3 +182,16 @@ def test_best_encoder_repeat_dispatch_batches():
     for B, fill in [(1, 97), (2, 120), (2, 7)]:
         bodies, blens = encode_blocks_best(*mk(B, fill))
         assert int(np.asarray(blens).max()) > 0
+
+
+def test_scalar_decode_4byte_literal_header():
+    """The rare 4-extra-byte literal header (tag 0xFC): legal with a
+    small value in 4 LE bytes; a claim past out_cap must reject (the
+    round-3 LUT path poisons via the tag's sign bit + byte 4)."""
+    ok = bytes([5]) + bytes([0xFC, 4, 0, 0, 0]) + b"abcde"
+    out, olens, errs = _dec([ok])
+    assert errs[0] == 0 and bytes(out[0, :5].astype(np.uint8)) == b"abcde"
+    # length claim with byte 4 nonzero (> 16 MiB) -> reject
+    bad = bytes([5]) + bytes([0xFC, 4, 0, 0, 1]) + b"abcde"
+    _, _, errs = _dec([bad])
+    assert errs[0] != 0
