@@ -19,9 +19,12 @@ Parity targets:
   scratch-resume bookkeeping.
 
 TPU shape: chunk payloads are independent given boundaries (SURVEY.md
-§1), so the hot paths batch all full chunks of a feed into one device
-call — encode via ``compress_fragments`` and decode via a single
-static-shaped batched ``decode_block`` (out_cap = 64 KiB always).
+§1), so the hot paths batch chunks into fixed-size device sub-batches
+pipelined a few ahead of the ordered fetches (``_pipeline``), with the
+framing pipeline fused on device (``frame_batch_packed``) and decode +
+CRC + word-packing fused per sub-batch (out_cap = 64 KiB always);
+word-packed rows and ragged device-side compaction keep host-link
+traffic at the payload's true size.
 Decode-side CRC32C of device-decoded chunk bodies runs on the TPU
 (``ops.pallas.crc32c.crc32c_blocks`` over the already-materialized
 decode outputs — zero host CRC work on the device path, parity with
