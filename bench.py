@@ -17,11 +17,33 @@ from __future__ import annotations
 
 import json
 import pathlib
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 BASELINE_COMBINED_GBPS = 1.0 / 3.0
+
+# Device-discovery probe timeout. The axon tunnel has wedged for hours
+# at a time (jax.devices() itself hangs, uninterruptible in-process);
+# probing in a bounded subprocess first turns "bench hangs forever"
+# into an honest one-line error the driver can record.
+import os
+
+PROBE_TIMEOUT_S = int(os.environ.get("SNAPPIER_BENCH_PROBE_TIMEOUT", "300"))
+
+
+def _device_reachable() -> bool:
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.devices())"],
+            timeout=PROBE_TIMEOUT_S,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
 
 
 def _load_html() -> bytes:
@@ -34,6 +56,24 @@ def _load_html() -> bytes:
 
 
 def main() -> None:
+    if not _device_reachable():
+        print(
+            json.dumps(
+                {
+                    "metric": "compress+decompress GB/s/chip on html corpus",
+                    "value": 0.0,
+                    "unit": "GB/s",
+                    "vs_baseline": 0.0,
+                    "error": (
+                        "device backend unreachable (discovery probe "
+                        f"timed out after {PROBE_TIMEOUT_S}s; the axon "
+                        "tunnel is down — see docs/ROADMAP.md round-3 log)"
+                    ),
+                }
+            )
+        )
+        return
+
     import jax
 
     # bench_cache ships in the repo so the driver's fresh run skips the
