@@ -31,7 +31,17 @@ def _is_axon_tunnel() -> bool:
     if "axon" in os.environ.get("JAX_PLATFORMS", "").lower():
         return True
     try:
-        return "axon" in type(jax.devices()[0]).__name__.lower()
+        # jax.config.update("jax_platforms", "axon") does NOT set the
+        # env var (the repo's own tools select the platform that way).
+        if "axon" in (jax.config.jax_platforms or "").lower():
+            return True
+    except AttributeError:  # pragma: no cover - older jax config layout
+        pass
+    try:
+        d = jax.devices()[0]
+        return "axon" in type(d).__name__.lower() or "axon" in (
+            getattr(d, "platform", "") or ""
+        )
     except Exception:  # pragma: no cover - backend init failure
         return False
 
@@ -51,6 +61,13 @@ def default_kernel(sharded: bool = False) -> str:
     import os
 
     k = os.environ.get("SNAPPIER_KERNEL")
+    if k is not None and k not in ("scalar", "scan"):
+        logging.getLogger("snappier_tpu").warning(
+            "SNAPPIER_KERNEL=%r is not 'scalar' or 'scan'; ignoring "
+            "the override and probing the backend instead",
+            k,
+        )
+        k = None
     if k in ("scalar", "scan"):
         choice, why = k, "SNAPPIER_KERNEL override"
     elif jax.default_backend() != "tpu":
@@ -177,8 +194,15 @@ class SnappyCodec:
 
         return jax.jit(fn)
 
-    @functools.cache
     def decompress_batch_fn(self, out_cap: int, packed: bool = False):
+        # Normalize before the cache: `fn(cap)` and `fn(cap, False)`
+        # must share one compiled graph (functools.cache keys by the
+        # exact call shape, which once caused a duplicate multi-second
+        # XLA compile of the 64 KiB decode kernel).
+        return self._decompress_batch_fn(int(out_cap), bool(packed))
+
+    @functools.cache
+    def _decompress_batch_fn(self, out_cap: int, packed: bool):
         if self.kernel == "scalar":
             from snappier_tpu.ops.pallas.scalar_codec import (
                 decode_blocks_scalar,

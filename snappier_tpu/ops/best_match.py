@@ -83,6 +83,9 @@ def exact_candidates(frags, lengths, widths: tuple = DEFAULT_WIDTHS):
 
     ws = sorted(widths)
     assert ws[0] == 4, "width ladder must start at the exact 4-byte key"
+    assert all(w & (w - 1) == 0 for w in ws), (
+        f"widths must be powers of two (doubling fingerprints); got {ws}"
+    )
     # Doubling fingerprints: fp(2w)[i] = fold(fp(w)[i], fp(w)[i+w]).
     # Base w=4 is the exact key itself (hi) — no collisions at all.
     fps = {4: (k4, k4 * _M2)}

@@ -190,13 +190,16 @@ def _compress_chunks_batched(
         for j, c in enumerate(chunks[lo:hi]):
             a = np.frombuffer(c, np.uint8)
             frags[j, : len(a)] = a
+            # Zero the tail: the scan kernel's candidate search hashes
+            # key windows past `length`, so stale pool bytes would make
+            # compressed output nondeterministic (review r3). O(tail),
+            # free for full 64 KiB chunks — not a whole-buffer fill.
+            frags[j, len(a) :] = 0
             lengths[j] = len(a)
         packed, flens = codec.frame_batch_packed(frags, lengths)
         return packed, flens, lo, hi, frags
 
     def fetch(packed, flens, lo, hi, frags):
-        import jax.numpy as jnp
-
         from snappier_tpu.models.codec import compact_words
 
         flens_h = np.asarray(flens)

@@ -3,12 +3,15 @@ usage + ``ByteArrayPoolMemoryOwner.cs``).
 
 Host-side staging buffers (fragment batches, chunk assembly) are
 recycled per size bucket to avoid re-allocating multi-megabyte numpy
-arrays on every stream write. Buffers are NOT zeroed by default — the
-kernels bound every read by the per-row ``lengths`` vector (garbage
-past a row's length is never hashed, emitted, or checksummed), and the
-reference pool likewise zeroizes only on dispose
-(ByteArrayPoolMemoryOwner.cs:42). Pass ``zero=True`` for callers that
-do need deterministic padding.
+arrays on every stream write. Buffers are NOT zeroed by default, like
+the reference pool, which zeroizes only on dispose
+(ByteArrayPoolMemoryOwner.cs:42). Callers own padding determinism:
+decode inputs bound every read by the per-row ``lengths`` vector, but
+the scan ENCODER's candidate search hashes key windows past a row's
+length, so encode-path callers must zero each written row's tail (as
+``runtime/stream.py`` does) or pass ``zero=True`` — otherwise the
+compressed bytes (valid either way) depend on the previous tenant's
+data.
 """
 
 from __future__ import annotations

@@ -36,6 +36,38 @@ def test_buffer_pool_is_wired_into_streaming():
     assert any(default_pool._buffers.values())
 
 
+def test_stream_compress_deterministic_over_dirty_pool():
+    """Framed device-path compression must not depend on stale pool
+    bytes: the scan encoder hashes key windows past a row's length, so
+    the staging path zeroes each written row's tail (review r3 — same
+    input once produced 78- vs 76-byte bodies depending on the previous
+    pool tenant)."""
+    from snappier_tpu.runtime.stream import stream_compress
+    from snappier_tpu.utils.pool import default_pool
+
+    default_pool.clear()
+    data = (b"determinism over dirty pools " * 49)[:1422]
+    first = stream_compress(data, engine="tpu")
+
+    # Dirty every pooled buffer with a worst-case tenant (0xFF runs
+    # compress well — a stale tail that leaks into candidate selection
+    # shifts the emitted tags), then compress the same data again.
+    for bucket in default_pool._buffers.values():
+        for buf in bucket:
+            buf.view(np.uint8)[...] = 0xFF
+    assert stream_compress(data, engine="tpu") == first
+
+
+def test_decompress_batch_fn_cache_is_call_shape_insensitive():
+    """fn(cap) and fn(cap, False) must share one compiled graph."""
+    from snappier_tpu.models.codec import SnappyCodec
+
+    codec = SnappyCodec()
+    assert codec.decompress_batch_fn(1024) is codec.decompress_batch_fn(
+        1024, False
+    )
+
+
 def test_throughput_and_device_trace():
     import pathlib
     import tempfile
