@@ -57,6 +57,16 @@ def test_stream_compress_deterministic_over_dirty_pool():
             buf.view(np.uint8)[...] = 0xFF
     assert stream_compress(data, engine="tpu") == first
 
+    # Decode staging rents from the same pool; garbage past comp_lens
+    # must affect neither acceptance nor output bytes.
+    from snappier_tpu.runtime.stream import stream_decompress
+
+    assert stream_decompress(first, engine="tpu") == data
+    for bucket in default_pool._buffers.values():
+        for buf in bucket:
+            buf.view(np.uint8)[...] = 0xA5
+    assert stream_decompress(first, engine="tpu") == data
+
 
 def test_decompress_batch_fn_cache_is_call_shape_insensitive():
     """fn(cap) and fn(cap, False) must share one compiled graph."""
