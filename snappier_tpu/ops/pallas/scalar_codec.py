@@ -99,13 +99,19 @@ def _tag_luts():
     (replaces the round-2 single-LUT + where-chain form; -12 ops/tag):
 
       d:  bits 0-2 header length, bit 3 is-literal, bits 4-10 length
-          base, bits 14-24 copy-1 offset high bits, bit 31 set for tags
-          whose 5-byte window matters (copy-4 / 4-extra-byte literal —
-          a nonzero byte 4 poisons the length so bounds checks reject).
-      lm: mask over the 3 bytes after the tag contributing to length
+          base, bits 14-24 copy-1 offset high bits, bit 31 set only for
+          the 4-extra-byte literal (a nonzero 4th length byte poisons
+          the length so bounds checks reject).
+      lm: mask over the 4 bytes after the tag contributing to length
           (long literals; 0 elsewhere) — length = (rest & lm) + Lbase.
       om: mask over those bytes contributing to offset (copies) —
-          offset = (rest & om) | offhi.
+          offset = (rest & om) | offhi. Copy-4's mask is the FULL word:
+          a nonzero 4th offset byte makes `off` either negative
+          (byte >= 0x80) or >= 2^24 > any legal op, so the walk's
+          existing `off <= 0 | off > op` checks reject it with no
+          dedicated wide-tag handling (round-3 trim: the parse reads
+          the key image at ip+1 — bytes ip+1..ip+4 in ONE load —
+          instead of `v32 >> 8` plus a separate byte-4 load).
 
     Cached as NumPy (jnp under jit would capture tracers)."""
     import numpy as _np
@@ -134,8 +140,7 @@ def _tag_luts():
             om[t] = 0xFFFF
         else:
             hdr, base, is_lit, offhi = 5, l6 + 1, 0, 0
-            om[t] = 0xFFFFFF
-            wide = 1
+            om[t] = -1  # full 4-byte offset (see docstring)
         v = hdr | (is_lit << 3) | (base << 4) | (offhi << 14) | (wide << 31)
         d[t] = v - (1 << 32) if v & (1 << 31) else v
     return d, lm, om
@@ -174,12 +179,6 @@ def _decode_kernel(keys_ref, lut_ref, lm_ref, om_ref, lens_ref, out_ref,
 
     def rd(i):
         return key_smem[jnp.clip(i, 0, cc - 1)] & 0xFF
-
-    def window5(i):
-        """Bytes [i, i+5) as (v32, b4): two key-image loads. The i+4
-        read is unclipped — valid streams never need a byte past n-1,
-        and the image carries >= 1 KiB of zero slack past cc."""
-        return key_smem[i], key_smem[i + 4] & 0xFF
 
     # --- varint preamble (VarIntEncoding.Read.cs semantics) -------------
     def var_body(state):
@@ -347,22 +346,28 @@ def _decode_kernel(keys_ref, lut_ref, lm_ref, om_ref, lens_ref, out_ref,
 
     def tag_body(state):
         ip, op, err = state
-        v32, b4 = window5(ip)
-        tag = v32 & 0xFF
+        tag = key_smem[ip] & 0xFF
         d = lut_ref[tag]
-        rest = jax.lax.shift_right_logical(v32, 8)
+        # The pre-funneled window at ip+1 IS bytes [ip+1, ip+5) — the
+        # whole extra-byte field of every tag in one load (round-3
+        # trim: replaces `v32 >> 8` + a separate byte-4 load).
+        rest = key_smem[ip + 1]
         hdr = d & 7
         is_lit = (d & 8) != 0
         # Straight-line field extraction via the three parallel LUTs
         # (_tag_luts): length = masked extra bytes + base; offset =
-        # masked extra bytes | copy-1 high bits. Tags whose window
-        # extends to byte 4 (copy-4 / 4-extra-byte literal, d's sign
-        # bit) poison the length when byte 4 is nonzero — the real
-        # value would exceed any legal out_cap/offset, so the bounds
-        # checks below reject without a dedicated branch.
+        # masked extra bytes | copy-1 high bits. Copy-4 reads its full
+        # 4-byte offset (om = -1): an out-of-range value fails the
+        # off-bounds check naturally. Only the 4-extra-byte literal
+        # (d's sign bit) needs a poison when its 4th length byte is
+        # nonzero — the real length would exceed any SMEM-legal
+        # out_cap, so the bounds check below rejects it.
         length = (rest & lm_ref[tag]) + ((d >> 4) & 0x7F)
         off = (rest & om_ref[tag]) | ((d >> 14) & 0x7FF)
-        length = jnp.where((d < 0) & (b4 > 0), _POISON, length)
+        length = jnp.where(
+            (d < 0) & (jax.lax.shift_right_logical(rest, 24) != 0),
+            _POISON, length,
+        )
 
         advance = hdr + jnp.where(is_lit, length, 0)
         bad = (ip + advance > n) | (op + length > expected)
@@ -391,7 +396,10 @@ def _decode_kernel(keys_ref, lut_ref, lm_ref, om_ref, lens_ref, out_ref,
                 off2 = off * (14 // jnp.maximum(off, 1))
                 append_stream(op + 14 - off2, op + 14, length - 14)
 
-        return ip + advance, op + jnp.where(ok, length, 0), e
+        # Unconditional advances: on a bad tag the loop exits via e, so
+        # a garbage ip/op is never observed (the post-loop length check
+        # and outlen are both gated on err == 0).
+        return ip + advance, op + length, e
 
     ip, op, err = jax.lax.while_loop(
         tag_cond, tag_body, (pre_len, jnp.int32(0), err)
