@@ -167,6 +167,13 @@ def main() -> None:
                 "value": round(combined, 4),
                 "unit": "GB/s",
                 "vs_baseline": round(combined / BASELINE_COMBINED_GBPS, 3),
+                # Measurement definition: raw block codec, CRC32C NOT
+                # timed (matches the reference BlockCompressHtml and the
+                # google/snappy denominator; CRC is timed in
+                # tools/bench_configs.py config 3). NOTE: BENCH_r01 and
+                # BENCH_r02 timed the CRC kernel inside t_compress —
+                # r03+ numbers are not apples-to-apples with r01/r02.
+                "with_crc": False,
                 "compress_gbps": round(compress_gbps, 4),
                 "decompress_gbps": round(decompress_gbps, 4),
                 "compression_ratio": round(ratio, 4),

@@ -197,6 +197,16 @@ size_t stpu_max_compressed_length(size_t n) {
   return 32 + n + n / 6 + 1 + 5;  // Helpers.cs:17-49 + varint slack
 }
 
+// TEST HOOK (the reference exposes FindMatchLength to its test
+// assembly via InternalsVisibleTo, SnappyCompressorTests.cs:10-96):
+// match length between buf[a..] and buf[b..], reading b up to
+// buf + b_limit. No overread: every 8-byte load needs b + 8 <= b_limit
+// and the a-side pointer trails b (a < b throughout).
+size_t stpu_match_length_test(const uint8_t* buf, size_t a, size_t b,
+                              size_t b_limit) {
+  return match_length(buf + a, buf + b, buf + b_limit);
+}
+
 int stpu_compress(const uint8_t* input, size_t n, uint8_t* out,
                   size_t out_cap, size_t* out_len) {
   if (out_cap < stpu_max_compressed_length(n)) return STPU_BUFFER_TOO_SMALL;

@@ -517,6 +517,104 @@ _HASH_BITS = 15
 _HASH_MUL = 0x1E35A7BD  # HashTable.cs magic-multiply form
 
 
+def _match_extension(key, at, cand, n, seed=None):
+    """Match-extension walk: given a verified 4-byte seed match
+    (``key(at) == key(cand)``, the caller's probe check), return the
+    full match length ``m`` in [4, n - at] — one merged loop extending
+    at stride 4 (FindMatchLength shape, SnappyCompressor.cs:562-688)
+    followed by a branchless <= 3-byte tail from the XOR of the next
+    4-byte groups (the trailing-zero-byte count of the XOR is the
+    extra match length; replaces a byte-compare while loop).
+
+    ``seed(pos)`` is called once per stride-4 step (fast mode's
+    hash-table seeding); None in best mode and in the test probe.
+    Validated against the reference's FindMatchLength golden-vector
+    table (SnappyCompressorTests.cs:10-96) via match_extension_probe.
+    """
+    def ext_body(st):
+        m, _ = st
+        if seed is not None:
+            seed(at + m)
+        return m + 4, key(at + m) == key(cand + m)
+
+    def ext_cond(st):
+        m, go = st
+        return go & (at + m + 4 <= n)
+
+    m, go = jax.lax.while_loop(ext_cond, ext_body, (jnp.int32(4), True))
+    # A mismatch exit overshoots by the failing group; a bounds exit
+    # does not.
+    m = jnp.where(go, m, m - 4)
+
+    x = key(at + m) ^ key(cand + m)
+    t0 = jnp.where((x & 0xFF) == 0, 1, 0)
+    t1 = jnp.where((x & 0xFFFF) == 0, 1, 0)
+    t2 = jnp.where((x & 0xFFFFFF) == 0, 1, 0)
+    m = m + jnp.where(x == 0, 3, t0 + t1 + t2)
+    return jnp.minimum(m, n - at)
+
+
+def _probe_kernel(keys_ref, args_ref, out_ref, key_smem, sem_in, *, cc):
+    """Grid-free test-hook kernel: one _match_extension call per row."""
+    b = pl.program_id(0)
+    kc = key_smem.shape[0]
+    cp_in = pltpu.make_async_copy(
+        keys_ref.at[pl.ds(b * kc, kc)], key_smem, sem_in
+    )
+    cp_in.start()
+    cp_in.wait()
+
+    def key(i):
+        return key_smem[i]
+
+    out_ref[b] = _match_extension(
+        key, args_ref[b, 0], args_ref[b, 1], args_ref[b, 2]
+    )
+
+
+def match_extension_probe(bufs, ats, cands, ns, interpret: bool | None = None):
+    """TEST HOOK: run the production extension walk on byte buffers.
+
+    Args:
+      bufs: int32[B, CC] byte rows (CC a multiple of 1024).
+      ats, cands, ns: int32[B] — match position, candidate position,
+        and buffer length per row. Precondition (as in the production
+        probe): the 4 bytes at ``ats`` and ``cands`` are equal.
+
+    Returns int32[B] full match lengths. This is the reference's
+    internal-test-hook pattern (InternalsVisibleTo + hooks,
+    SnappyDecompressor.cs:686-718) re-expressed for a Pallas kernel:
+    the golden-vector suite exercises the exact production loop, not a
+    reimplementation.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    bufs = bufs.astype(jnp.int32)
+    B, CC = bufs.shape
+    assert CC % 1024 == 0
+    keys = _keys_from_frags(bufs)[:, : CC + 1024]
+    args = jnp.stack(
+        [jnp.asarray(a, jnp.int32) for a in (ats, cands, ns)], axis=1
+    )
+    kern = functools.partial(_probe_kernel, cc=CC)
+    return pl.pallas_call(
+        kern,
+        grid=(B,),
+        out_shape=jax.ShapeDtypeStruct((B,), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        scratch_shapes=[
+            pltpu.SMEM((CC + 1024,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(keys.reshape(-1), args)
+
+
 def _encode_kernel(keys_ref, hashes_ref, lens_ref, out_ref, outlen_ref,
                    key_smem, hash_smem, out_smem, table_smem, sem_in,
                    sem_hash, sem_out, *, hash_bits=_HASH_BITS, skip_base=32,
@@ -690,40 +788,25 @@ def _encode_kernel(keys_ref, hashes_ref, lens_ref, out_ref, outlen_ref,
         return ip + margin < n
 
     def on_hit(at, cand, lit_start, op):
-        # One merged loop walks the match at stride 4 (FindMatchLength
-        # shape, SnappyCompressor.cs:562-688), extending the length AND
-        # seeding the hash table from the covered span (positions
-        # at+1+4k — stride 4 A/B-measured 17% faster than stride 2 for
-        # +0.8% size, still denser than the reference's 2 entries per
-        # match). Merging the seed fori into the extension while was
-        # measured at -166 us/block; a sloppy seed from the final
-        # mismatching iteration is safe because every probe verifies
+        # The extension walk is factored into _match_extension so the
+        # FindMatchLength golden-vector suite can drive the exact
+        # production logic through a probe kernel (test hook analog of
+        # SnappyDecompressor.cs:686-718). The seed callback stores
+        # hash-table entries from the covered span (positions at+1+4k —
+        # stride 4 A/B-measured 17% faster than stride 2 for +0.8%
+        # size, still denser than the reference's 2 entries per match).
+        # Merging the seed into the extension while was measured at
+        # -166 us/block; a sloppy seed from the final mismatching
+        # iteration is safe because every probe verifies
         # key(cand) == cur before use.
-        def ext_body(st):
-            m, _ = st
-            if not exact_cands:  # no table to seed in best mode
-                p = jnp.minimum(at + m - 3, n - 5)
+        if exact_cands:
+            seed = None  # no table to seed in best mode
+        else:
+            def seed(pos):
+                p = jnp.minimum(pos - 3, n - 5)
                 table_smem[hash_smem[p]] = epoch | p
-            return m + 4, key(at + m) == key(cand + m)
 
-        def ext_cond(st):
-            m, go = st
-            return go & (at + m + 4 <= n)
-
-        m, go = jax.lax.while_loop(ext_cond, ext_body, (jnp.int32(4), True))
-        # A mismatch exit overshoots by the failing group; a bounds
-        # exit does not.
-        m = jnp.where(go, m, m - 4)
-
-        # Branchless <= 3-byte tail from the XOR of the next 4-byte
-        # groups (replaces a byte-compare while loop; the trailing-
-        # zero-byte count of the XOR is the extra match length).
-        x = key(at + m) ^ key(cand + m)
-        t0 = jnp.where((x & 0xFF) == 0, 1, 0)
-        t1 = jnp.where((x & 0xFFFF) == 0, 1, 0)
-        t2 = jnp.where((x & 0xFFFFFF) == 0, 1, 0)
-        m = m + jnp.where(x == 0, 3, t0 + t1 + t2)
-        m = jnp.minimum(m, n - at)
+        m = _match_extension(key, at, cand, n, seed=seed)
 
         op2 = emit_literal_checked(op, lit_start, at)
         op3 = emit_copy(op2, at - cand, m)
@@ -931,7 +1014,7 @@ def encode_blocks_scalar(
 def encode_blocks_best(
     frags,
     lengths,
-    widths: tuple = (4, 8, 16, 32, 64),
+    widths: tuple | None = None,
     skip_base: int = 32,
     interpret: bool | None = None,
 ):
@@ -951,8 +1034,10 @@ def encode_blocks_best(
     expected 4", round-3 finding, minimal repro in the test below) —
     and callers must NOT re-wrap this function in jit for the same
     reason. Two dispatches are noise at best-level granularity."""
-    from snappier_tpu.ops.best_match import exact_candidates
+    from snappier_tpu.ops.best_match import DEFAULT_WIDTHS, exact_candidates
 
+    if widths is None:
+        widths = DEFAULT_WIDTHS
     cands = exact_candidates(frags, lengths, widths=widths)
     return _encode_best_pallas(
         frags, lengths, cands, skip_base=skip_base, interpret=interpret

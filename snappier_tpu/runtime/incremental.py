@@ -196,6 +196,30 @@ class BlockDecompressor:
         self._extracted = True
         return bytes(self._out)
 
+    # -- test hooks --------------------------------------------------------
+    # The reference exposes the same three state-injection hooks to its
+    # test assembly (SnappyDecompressor.cs:686-718 via InternalsVisibleTo)
+    # for the scratch-poisoning regression (SnappyDecompressorTests.cs
+    # :42-58). Not part of the public API.
+
+    def set_expected_length_for_test(self, n: int) -> None:
+        self._expected = n
+        self._pre = bytearray(b"\0")  # preamble consumed
+
+    def write_to_buffer_for_test(self, data: bytes) -> None:
+        self._out += bytes(data)
+
+    def load_scratch_for_test(self, scratch: bytes, length: int) -> None:
+        """Load tag-scratch state. Mirroring the reference hook's
+        shape: ``scratch`` may carry poison bytes past ``length`` —
+        only the first ``length`` bytes are live state (our scratch is
+        an exact-length tail, so the poison is dropped here by
+        construction; the ported regression asserts decode behaves as
+        if it were)."""
+        if length > 8:
+            raise ValueError("scratch length exceeds limit")
+        self._tail = bytes(scratch[:length])
+
     def finish(self) -> None:
         """Assert completion (no dangling tag bytes, full output)."""
         if self._tail or self._remaining_literal:

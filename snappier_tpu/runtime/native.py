@@ -57,7 +57,11 @@ def load():
     with _lock:
         if _lib is not None or _load_failed:
             return _lib
-        if not _SO.exists() and not _build():
+        # Always run make (a no-op when fresh): the .so is gitignored
+        # and a stale build silently missing newer entry points is
+        # worse than the ~50 ms make probe. Fall back to an existing
+        # .so when the toolchain is unavailable.
+        if not _build() and not _SO.exists():
             _load_failed = True
             return None
         try:
@@ -113,6 +117,14 @@ def load():
             ctypes.c_size_t,
             ctypes.POINTER(ctypes.c_uint64),
         ]
+        if hasattr(lib, "stpu_match_length_test"):
+            lib.stpu_match_length_test.restype = ctypes.c_size_t
+            lib.stpu_match_length_test.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_size_t,
+                ctypes.c_size_t,
+                ctypes.c_size_t,
+            ]
         if hasattr(lib, "stpu_scan_fragments"):
             lib.stpu_scan_fragments.restype = ctypes.c_int
             lib.stpu_scan_fragments.argtypes = [
@@ -209,6 +221,16 @@ def scan_fragments(data: bytes):
     if rc != _OK:
         raise InvalidDataError("malformed snappy block data")
     return recs[: nf.value]
+
+
+def match_length_test(buf: bytes, a: int, b: int, b_limit: int) -> int:
+    """TEST HOOK: the C++ engine's FindMatchLength analog
+    (snappy_core.cpp match_length), exercised by the golden-vector
+    table ported from SnappyCompressorTests.cs:10-96."""
+    lib = load()
+    if lib is None or not hasattr(lib, "stpu_match_length_test"):
+        raise RuntimeError("native runtime unavailable")
+    return int(lib.stpu_match_length_test(bytes(buf), a, b, b_limit))
 
 
 def crc32c(data: bytes, crc: int = 0) -> int:

@@ -156,3 +156,48 @@ def test_compress_iter_empty_and_tiny():
     assert compress_iter([b"", b"a", b""], engine="oracle") == st.compress(
         b"a", engine="oracle"
     )
+
+
+def test_scratch_poisoned_past_length_is_never_read():
+    """Port of the reference scratch-overrun regression
+    (SnappyDecompressorTests.cs:42-58): with 255 bytes already decoded,
+    scratch loaded with poison bytes [222,222,222,222,0,0] at logical
+    length 0, decoding the exact 3-byte copy-2 tag [150, 255, 0] must
+    consume only those 3 bytes. A decoder that reads scratch past its
+    length would parse 222 as a next tag (copy-2 offset 0) and raise a
+    copy-offset error."""
+    d = BlockDecompressor()
+    d.set_expected_length_for_test(1024)
+    d.write_to_buffer_for_test(bytes(range(255)))
+    d.load_scratch_for_test(bytes([222, 222, 222, 222, 0, 0]), 0)
+
+    produced = d.decompress(bytes([150, 255, 0]))  # copy-2: len 38, off 255
+
+    assert produced == 38
+    assert not d.all_data_decompressed  # mid-stream: wants more input
+    # The copy itself decoded correctly: offset 255 from position 255
+    # replays the start of the buffer.
+    assert d.read(-1)[-38:] == bytes(range(38))
+
+
+def test_scratch_hook_respects_live_prefix():
+    """Companion case: a *live* 2-byte scratch prefix (a split copy-2
+    tag) must be completed by the next feed, and the poison bytes past
+    the logical length must still never be parsed."""
+    d = BlockDecompressor()
+    d.set_expected_length_for_test(1024)
+    d.write_to_buffer_for_test(bytes(range(255)))
+    # Live: [150, 255] (copy-2 tag missing its offset-high byte).
+    # Poison: trailing 222s beyond length 2.
+    d.load_scratch_for_test(bytes([150, 255, 222, 222, 222, 222]), 2)
+
+    produced = d.decompress(bytes([0]))  # completes offset = 255
+
+    assert produced == 38
+    assert d.read(-1)[-38:] == bytes(range(38))
+
+
+def test_scratch_hook_length_cap():
+    d = BlockDecompressor()
+    with pytest.raises(ValueError):
+        d.load_scratch_for_test(bytes(16), 16)
