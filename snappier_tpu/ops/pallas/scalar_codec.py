@@ -421,12 +421,34 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _core_parallel_default() -> bool:
+    """SNAPPIER_CORE_PARALLEL=1 marks the block grid ``core_parallel``
+    so Mosaic splits it across a chip's TensorCores (2x on v5p-class
+    megacore parts). Blocks are independent and every per-core state
+    (SMEM scratch, the encoder's epoch-tagged table) is core-local, so
+    the split is semantically free; default OFF because this repo's
+    1-TensorCore v5e rejects the semantic at compile time (the flag is
+    for multi-core deployments — docs/PERF_BUDGET.md path 2)."""
+    import os
+
+    return os.environ.get("SNAPPIER_CORE_PARALLEL", "") == "1"
+
+
+def _compiler_params(core_parallel: bool):
+    if core_parallel:
+        return pltpu.CompilerParams(
+            has_side_effects=True, dimension_semantics=("core_parallel",)
+        )
+    return pltpu.CompilerParams(has_side_effects=True)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("out_cap", "interpret", "packed")
+    jax.jit,
+    static_argnames=("out_cap", "interpret", "packed", "core_parallel"),
 )
 def decode_blocks_scalar(
     comp, comp_lens, out_cap: int = BLOCK_SIZE, interpret: bool | None = None,
-    packed: bool = False,
+    packed: bool = False, core_parallel: bool | None = None,
 ):
     """Decode a batch of Snappy blocks on the TPU scalar core.
 
@@ -444,6 +466,8 @@ def decode_blocks_scalar(
     """
     if interpret is None:
         interpret = _interpret_default()
+    if core_parallel is None:
+        core_parallel = _core_parallel_default()
     comp = comp.astype(jnp.int32)
     B, CC = comp.shape
     assert CC % 1024 == 0 and out_cap % 1024 == 0  # 1-D DMA tiling
@@ -483,7 +507,7 @@ def decode_blocks_scalar(
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=_compiler_params(core_parallel),
         interpret=interpret,
     )(
         keys.reshape(-1),
@@ -938,7 +962,8 @@ def _unpack_bodies(ow, oc):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "hash_bits", "skip_base")
+    jax.jit,
+    static_argnames=("interpret", "hash_bits", "skip_base", "core_parallel"),
 )
 def encode_blocks_scalar(
     frags,
@@ -946,6 +971,7 @@ def encode_blocks_scalar(
     interpret: bool | None = None,
     hash_bits: int = _HASH_BITS,
     skip_base: int = 32,
+    core_parallel: bool | None = None,
 ):
     """Compress a batch of fragments on the TPU scalar core.
 
@@ -965,6 +991,8 @@ def encode_blocks_scalar(
     """
     if interpret is None:
         interpret = _interpret_default()
+    if core_parallel is None:
+        core_parallel = _core_parallel_default()
     frags = frags.astype(jnp.int32)
     B, F = frags.shape
     assert F % 1024 == 0 and F <= BLOCK_SIZE  # 1-D DMA tiling
@@ -1005,7 +1033,7 @@ def encode_blocks_scalar(
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=_compiler_params(core_parallel),
         interpret=interpret,
     )(keys.reshape(-1), hashes.reshape(-1), lengths.astype(jnp.int32))
     return _unpack_bodies(ow.reshape(B, ocw), oc), body_lens
@@ -1017,6 +1045,7 @@ def encode_blocks_best(
     widths: tuple | None = None,
     skip_base: int = 32,
     interpret: bool | None = None,
+    core_parallel: bool | None = None,
 ):
     """``level="best"`` encoder: the scalar emission walk driven by
     VPU-precomputed exact-nearest multi-width candidates
@@ -1040,15 +1069,21 @@ def encode_blocks_best(
         widths = DEFAULT_WIDTHS
     cands = exact_candidates(frags, lengths, widths=widths)
     return _encode_best_pallas(
-        frags, lengths, cands, skip_base=skip_base, interpret=interpret
+        frags, lengths, cands, skip_base=skip_base, interpret=interpret,
+        core_parallel=core_parallel,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "skip_base"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "skip_base", "core_parallel")
+)
 def _encode_best_pallas(frags, lengths, cands, skip_base=32,
-                        interpret: bool | None = None):
+                        interpret: bool | None = None,
+                        core_parallel: bool | None = None):
     if interpret is None:
         interpret = _interpret_default()
+    if core_parallel is None:
+        core_parallel = _core_parallel_default()
     frags = frags.astype(jnp.int32)
     B, F = frags.shape
     assert F % 1024 == 0 and F <= BLOCK_SIZE
@@ -1086,7 +1121,7 @@ def _encode_best_pallas(frags, lengths, cands, skip_base=32,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=_compiler_params(core_parallel),
         interpret=interpret,
     )(keys.reshape(-1), cands.reshape(-1), lengths.astype(jnp.int32))
     return _unpack_bodies(ow.reshape(B, ocw), oc), body_lens

@@ -244,6 +244,16 @@ def compress(data, engine: str = "auto", level: str = "fast") -> bytes:
 
         return oracle.compress(_as_u8(data))
     arr = _as_u8(data)
+    bodies, body_lens = _device_bodies(arr, level)
+    out = bytearray(write_varint(len(arr)))
+    for i in range(len(body_lens)):
+        out += bodies[i, : int(body_lens[i])].astype(np.uint8).tobytes()
+    return bytes(out)
+
+
+def _device_bodies(arr: np.ndarray, level: str = "fast"):
+    """Fragment ``arr`` into 64 KiB rows, compress the batch on device,
+    and return host-fetched (bodies, body_lens)."""
     n = len(arr)
     nfrags = max(1, -(-n // BLOCK_SIZE))
     frags = np.zeros((nfrags, BLOCK_SIZE), np.uint8)
@@ -259,10 +269,7 @@ def compress(data, engine: str = "auto", level: str = "fast") -> bytes:
     # round trips through the host link.
     bodies, body_lens = jax.device_get((bodies, body_lens))
     check_body_lens(bodies.shape[1], body_lens)
-    out = bytearray(write_varint(n))
-    for i in range(nfrags):
-        out += bodies[i, : int(body_lens[i])].astype(np.uint8).tobytes()
-    return bytes(out)
+    return bodies, body_lens
 
 
 def decompress(data, engine: str = "auto") -> bytes:
@@ -362,36 +369,82 @@ def _write_out(out, blob: bytes) -> None:
         out[: len(blob)] = blob
 
 
+def _write_at(out, pos: int, blob) -> None:
+    """Write a contiguous uint8 array/bytes into out[pos:] in place."""
+    if isinstance(out, np.ndarray):
+        if not isinstance(blob, np.ndarray):
+            blob = np.frombuffer(blob, np.uint8)
+        out[pos : pos + len(blob)] = blob
+    elif isinstance(blob, np.ndarray):
+        out[pos : pos + len(blob)] = memoryview(np.ascontiguousarray(blob))
+    else:
+        out[pos : pos + len(blob)] = blob
+
+
+def _compress_into_checked(arr: np.ndarray, out, engine: str) -> int:
+    """Compress ``arr`` into ``out`` without a full-output intermediate
+    (round-4 verdict item; reference shape ``Snappy.Compress(input,
+    output)``, Snappy.cs:37): the native engine emits straight into the
+    caller's buffer (or a pooled stage when it is smaller than the
+    worst case), and the device path writes the varint preamble and
+    each fragment body directly from the fetched batch. Raises
+    BufferTooSmallError when the actual result does not fit."""
+    engine = _pick_engine(engine)
+    if engine == "native":
+        from snappier_tpu.runtime import native
+
+        return native.compress_into(arr.tobytes(), out)
+    if engine == "oracle":
+        from snappier_tpu.format import oracle
+
+        comp = oracle.compress(arr)
+        if len(out) < len(comp):
+            raise BufferTooSmallError(
+                f"need {len(comp)} bytes, destination holds {len(out)}"
+            )
+        _write_out(out, comp)
+        return len(comp)
+    bodies, body_lens = _device_bodies(arr)
+    pre = write_varint(len(arr))
+    total = len(pre) + int(body_lens.sum())
+    if len(out) < total:
+        raise BufferTooSmallError(
+            f"need {total} bytes, destination holds {len(out)}"
+        )
+    _write_at(out, 0, pre)
+    pos = len(pre)
+    for i in range(len(body_lens)):
+        blen = int(body_lens[i])
+        _write_at(out, pos, bodies[i, :blen])
+        pos += blen
+    return total
+
+
 def compress_into(data, out, engine: str = "auto") -> int:
     """Compress into a caller buffer; returns bytes written.
     Parity: ``Snappy.Compress(input, output)`` (Snappy.cs:37)."""
     _check_overlap(data, out)
-    if len(out) < min_compressed_length(len(_as_u8(data))):
+    arr = _as_u8(data)
+    if len(out) < min_compressed_length(len(arr)):
         # Fail fast (before any device work) when the destination
         # cannot possibly hold a valid stream (Snappy.cs:37-52 shape).
         raise BufferTooSmallError(
             f"destination ({len(out)} bytes) is below the minimum "
             "possible compressed size"
         )
-    comp = compress(data, engine=engine)
-    if len(out) < len(comp):
-        raise BufferTooSmallError(
-            f"need {len(comp)} bytes, destination holds {len(out)}"
-        )
-    _write_out(out, comp)
-    return len(comp)
+    return _compress_into_checked(arr, out, engine)
 
 
 def try_compress(data, out, engine: str = "auto") -> tuple[bool, int]:
     """Parity: ``Snappy.TryCompress`` (Snappy.cs:55)."""
     _check_overlap(data, out)
-    if len(out) < min_compressed_length(len(_as_u8(data))):
+    arr = _as_u8(data)
+    if len(out) < min_compressed_length(len(arr)):
         return False, 0  # fail fast, no device work
-    comp = compress(data, engine=engine)
-    if len(out) < len(comp):
+    try:
+        return True, _compress_into_checked(arr, out, engine)
+    except BufferTooSmallError:
         return False, 0
-    _write_out(out, comp)
-    return True, len(comp)
 
 
 def decompress_into(data, out, engine: str = "auto") -> int:

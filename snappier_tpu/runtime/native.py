@@ -164,6 +164,54 @@ def compress(data: bytes) -> bytes:
     return arr[: out_len.value].tobytes()
 
 
+def compress_into(data: bytes, out) -> int:
+    """Compress directly into the writable buffer ``out`` (zero-copy:
+    ``stpu_compress`` emits straight into the caller's memory when it
+    is large enough; otherwise a pooled staging buffer is used and only
+    the actual compressed bytes are copied — never a full-output
+    ``bytes`` intermediate). Returns bytes written; raises
+    BufferTooSmallError when the result does not fit."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable")
+    data = bytes(data)
+    cap = lib.stpu_max_compressed_length(len(data))
+    view = np.frombuffer(memoryview(out), np.uint8)
+    out_len = ctypes.c_size_t()
+    if view.size >= cap:
+        rc = lib.stpu_compress(
+            data,
+            len(data),
+            view.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            view.size,
+            ctypes.byref(out_len),
+        )
+        if rc != _OK:
+            raise InvalidDataError(f"native compress failed rc={rc}")
+        return out_len.value
+    from snappier_tpu.utils.pool import default_pool
+
+    stage = default_pool.rent(cap, np.uint8)
+    try:
+        rc = lib.stpu_compress(
+            data,
+            len(data),
+            stage.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            stage.size,
+            ctypes.byref(out_len),
+        )
+        if rc != _OK:
+            raise InvalidDataError(f"native compress failed rc={rc}")
+        if out_len.value > view.size:
+            raise BufferTooSmallError(
+                f"need {out_len.value} bytes, destination holds {view.size}"
+            )
+        view[: out_len.value] = stage[: out_len.value]
+        return out_len.value
+    finally:
+        default_pool.giveback(stage)
+
+
 def decompress(data: bytes) -> bytes:
     lib = load()
     if lib is None:

@@ -42,9 +42,9 @@ class BufferPool:
         return np.zeros(shape, dtype) if zero else np.empty(shape, dtype)
 
     def giveback(self, buf: np.ndarray) -> None:
-        key = (buf.shape, buf.dtype.str)
+        key = (tuple(buf.shape), buf.dtype.str)
         with self._lock:
-            bucket = self._buffers[(tuple(buf.shape), buf.dtype.str)]
+            bucket = self._buffers[key]
             if len(bucket) < self._max:
                 bucket.append(buf)
 

@@ -248,3 +248,34 @@ def test_level_best_edge_cases_and_density():
     best = block.compress(html, level="best")
     assert oracle.decompress(best) == html
     assert len(best) < len(greedy) * 0.92  # measurably denser
+
+
+@pytest.mark.parametrize("engine", ["native", "oracle", "tpu"])
+def test_compress_into_zero_copy_per_engine(engine):
+    """Round-4 zero-copy contract (Snappy.cs:37 shape): every engine
+    writes into the caller's buffer with no full-output intermediate —
+    native emits directly (or via a pooled stage when the destination
+    is below worst case), the device path writes the preamble and each
+    fetched fragment body in place."""
+    from snappier_tpu.runtime import native as native_rt
+
+    if engine == "native" and not native_rt.available():
+        pytest.skip("native runtime unavailable")
+    data = load_corpus_file("html")[:100_000]
+    comp = st.compress(data, engine=engine)
+
+    # Destination >= worst case: native takes the direct-emit path.
+    big = np.zeros(st.get_max_compressed_length(len(data)), np.uint8)
+    n = st.compress_into(data, big, engine=engine)
+    assert n == len(comp) and big[:n].tobytes() == comp
+
+    # Exact-fit destination (below worst case): staged/pooled path.
+    exact = bytearray(len(comp))
+    n = st.compress_into(data, exact, engine=engine)
+    assert n == len(comp) and bytes(exact) == comp
+
+    # One byte short: error raised, try_ variant returns False.
+    with pytest.raises(BufferTooSmallError):
+        st.compress_into(data, bytearray(len(comp) - 1), engine=engine)
+    ok, _ = st.try_compress(data, bytearray(len(comp) - 1), engine=engine)
+    assert not ok

@@ -201,3 +201,91 @@ def test_scratch_hook_length_cap():
     d = BlockDecompressor()
     with pytest.raises(ValueError):
         d.load_scratch_for_test(bytes(16), 16)
+
+
+def _incompressible(n: int, seed: int = 5) -> bytes:
+    return np.random.default_rng(seed).integers(0, 256, n, np.uint8).tobytes()
+
+
+def test_compress_iter_writer_matches_bytes_mode():
+    import io
+
+    data = load_corpus_file("html")
+    chunks = [data[i : i + 30_000] for i in range(0, len(data), 30_000)]
+    ref = compress_iter(chunks, engine="oracle", batch_blocks=1)
+
+    sink = io.BytesIO()
+    n = compress_iter(chunks, engine="oracle", batch_blocks=1, writer=sink)
+    assert n == len(ref) and sink.getvalue() == ref
+
+    pieces = []
+    n2 = compress_iter(
+        chunks, engine="oracle", batch_blocks=1, writer=pieces.append
+    )
+    assert n2 == len(ref) and b"".join(pieces) == ref
+
+
+def test_compress_iter_writer_requires_length_for_generators():
+    with pytest.raises(InvalidOperationError):
+        compress_iter(
+            (b"x" for _ in range(3)), engine="oracle", writer=lambda b: None
+        )
+    # Explicit total_length unblocks generators.
+    pieces = []
+    n = compress_iter(
+        (b"xyz" for _ in range(3)),
+        engine="oracle",
+        writer=pieces.append,
+        total_length=9,
+    )
+    assert b"".join(pieces) == __import__("snappier_tpu").compress(
+        b"xyz" * 3, engine="oracle"
+    )
+    assert n == len(b"".join(pieces))
+    # A lying total_length is caught.
+    with pytest.raises(InvalidOperationError):
+        compress_iter(
+            (b"xyz" for _ in range(3)),
+            engine="oracle",
+            writer=lambda b: None,
+            total_length=5,
+        )
+
+
+def test_compress_iter_writer_memory_highwater():
+    """The verdict's zero-copy contract: writer mode must NOT
+    accumulate the full output. On incompressible input (output ~=
+    input size) the traced peak of writer mode stays batch-bounded
+    while bytes mode necessarily holds the whole output."""
+    import tracemalloc
+
+    # 4 MiB: large enough that the oracle's per-fragment transient
+    # arrays (~1.4 MB regardless of total) sit well under the half-
+    # output threshold the assertion uses.
+    data = _incompressible(4 << 20)
+    chunks = [data[i : i + 65536] for i in range(0, len(data), 65536)]
+
+    tracemalloc.start()
+    ref = compress_iter(chunks, engine="oracle", batch_blocks=2)
+    peak_bytes_mode = tracemalloc.get_traced_memory()[1]
+    tracemalloc.stop()
+
+    del ref
+    tracemalloc.start()
+    total = 0
+
+    def discard(b: bytes) -> None:
+        nonlocal total
+        total += len(b)
+
+    n = compress_iter(
+        chunks, engine="oracle", batch_blocks=2, writer=discard
+    )
+    peak_writer = tracemalloc.get_traced_memory()[1]
+    tracemalloc.stop()
+
+    assert n == total and n >= len(data)  # incompressible: no shrink
+    assert peak_bytes_mode >= n  # bytes mode held the whole output
+    # Writer mode: staging (2 blocks) + per-batch body, far below the
+    # full output.
+    assert peak_writer < n // 2, (peak_writer, n)

@@ -195,3 +195,49 @@ def test_scalar_decode_4byte_literal_header():
     bad = bytes([5]) + bytes([0xFC, 4, 0, 0, 1]) + b"abcde"
     _, _, errs = _dec([bad])
     assert errs[0] != 0
+
+
+def test_core_parallel_grid_semantics():
+    """SNAPPIER_CORE_PARALLEL / core_parallel=True marks the block grid
+    ``core_parallel`` so Mosaic splits it across a chip's TensorCores
+    (docs/PERF_BUDGET.md path 2 — the ~2x lever on v5p-class megacore
+    parts). Blocks are independent and all scratch is core-local, so
+    output must be bit-identical; this proves the flagged programs
+    trace+compile and agree in interpret mode (this repo's 1-core v5e
+    rejects the semantic at Mosaic compile time, so chip validation
+    needs multi-core hardware)."""
+    datas = [b"core parallel snappy " * 30, bytes(range(256)) * 3]
+    frags = np.zeros((2, F), np.int32)
+    lens = np.zeros(2, np.int32)
+    for i, d in enumerate(datas):
+        a = np.frombuffer(d, np.uint8)
+        frags[i, : len(a)] = a
+        lens[i] = len(a)
+    fd, ld = jnp.asarray(frags), jnp.asarray(lens)
+
+    b0, l0 = encode_blocks_scalar(fd, ld, core_parallel=False)
+    b1, l1 = encode_blocks_scalar(fd, ld, core_parallel=True)
+    assert (np.asarray(l0) == np.asarray(l1)).all()
+    assert (np.asarray(b0) == np.asarray(b1)).all()
+
+    comp = np.zeros((2, CC), np.int32)
+    clens = np.zeros(2, np.int32)
+    for i, d in enumerate(datas):
+        blk = write_varint(len(d)) + np.asarray(b0)[i, : int(l0[i])].astype(
+            np.uint8
+        ).tobytes()
+        comp[i, : len(blk)] = np.frombuffer(blk, np.uint8)
+        clens[i] = len(blk)
+    cd, cl = jnp.asarray(comp), jnp.asarray(clens)
+    o0 = decode_blocks_scalar(cd, cl, out_cap=F, core_parallel=False)
+    o1 = decode_blocks_scalar(cd, cl, out_cap=F, core_parallel=True)
+    for a, b in zip(o0, o1):
+        assert (np.asarray(a) == np.asarray(b)).all()
+    assert (np.asarray(o0[2]) == 0).all()
+
+    from snappier_tpu.ops.pallas.scalar_codec import encode_blocks_best
+
+    bb0, bl0 = encode_blocks_best(fd, ld, core_parallel=False)
+    bb1, bl1 = encode_blocks_best(fd, ld, core_parallel=True)
+    assert (np.asarray(bl0) == np.asarray(bl1)).all()
+    assert (np.asarray(bb0) == np.asarray(bb1)).all()

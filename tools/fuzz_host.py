@@ -224,6 +224,102 @@ def run_stream_device(iters: int, seed: int) -> None:
     )
 
 
+def run_scalar(rows: int, seed: int) -> None:
+    """Randomized-fragment-size fuzz of the PRODUCTION Pallas scalar
+    kernels (round-4 verdict item: the kernel family was fuzzed only
+    through the oracle). Kernel shapes are static, so the ladder uses
+    three fragment shapes F in {1, 8, 64} KiB while the *data length*
+    — the thing the walk actually branches on — varies uniformly in
+    [0, F] per row. Skewed run-length rows are encoded by
+    encode_blocks_scalar, assembled into full blocks, decoded by
+    decode_blocks_scalar, and byte-compared to the input; every 16th
+    row is cross-decoded by the oracle and every 4th batch also runs
+    the best-level encoder (same batch shape — the XLA:CPU re-dispatch
+    bug needs a batch-size CHANGE to trigger, docs/ROADMAP.md).
+    Interpret mode off-TPU; the identical programs compile on chip."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    cache = pathlib.Path(__file__).parent.parent / ".jax_cache"
+    cache.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    from snappier_tpu.format import oracle
+    from snappier_tpu.format.varint import write_varint
+    from snappier_tpu.ops.pallas.scalar_codec import (
+        decode_blocks_scalar,
+        encode_blocks_best,
+        encode_blocks_scalar,
+    )
+
+    B = 32
+    shapes = (1024, 8192, 65536)
+    rng = np.random.default_rng(seed + 13)
+    t0 = time.time()
+    nbytes = 0
+    done = 0
+    batch_i = 0
+    while done < rows:
+        F = shapes[batch_i % len(shapes)]
+        lengths = rng.integers(0, F + 1, B).astype(np.int32)
+        lengths[0] = F  # always exercise the full-fragment path
+        frags = np.zeros((B, F), np.int32)
+        datas = []
+        for r in range(B):
+            d = gen_block(rng, int(lengths[r])) if lengths[r] else b""
+            datas.append(d)
+            frags[r, : len(d)] = np.frombuffer(d, np.uint8)
+            nbytes += len(d)
+        fd, ld = jnp.asarray(frags), jnp.asarray(lengths)
+        enc = [("scalar", *encode_blocks_scalar(fd, ld))]
+        if batch_i % 4 == 0:
+            enc.append(("best", *encode_blocks_best(fd, ld)))
+        for kind, bodies, body_lens in enc:
+            bodies = np.asarray(bodies, np.uint8)
+            body_lens = np.asarray(body_lens)
+            CC = F + 4096
+            comp = np.zeros((B, CC), np.uint8)
+            comp_lens = np.zeros(B, np.int32)
+            blocks = []
+            for r in range(B):
+                blk = write_varint(int(lengths[r])) + bodies[
+                    r, : int(body_lens[r])
+                ].tobytes()
+                blocks.append(blk)
+                comp[r, : len(blk)] = np.frombuffer(blk, np.uint8)
+                comp_lens[r] = len(blk)
+            outs, out_lens, errs = decode_blocks_scalar(
+                jnp.asarray(comp.astype(np.int32)),
+                jnp.asarray(comp_lens),
+                out_cap=F,
+            )
+            outs = np.asarray(outs, np.uint8)
+            out_lens, errs = np.asarray(out_lens), np.asarray(errs)
+            for r in range(B):
+                tagmsg = f"{kind} F={F} batch={batch_i} row={r}"
+                assert errs[r] == 0, f"decode error {errs[r]} @ {tagmsg}"
+                assert out_lens[r] == lengths[r], f"out_len @ {tagmsg}"
+                assert (
+                    outs[r, : int(lengths[r])].tobytes() == datas[r]
+                ), f"bytes @ {tagmsg}"
+                if r % 16 == 0:
+                    assert (
+                        bytes(oracle.decompress(
+                            np.frombuffer(blocks[r], np.uint8)
+                        )) == datas[r]
+                    ), f"oracle cross @ {tagmsg}"
+        done += B
+        batch_i += 1
+    dt = time.time() - t0
+    print(
+        f"scalar-kernel campaign: {done} rows (+best on 1/4 batches), "
+        f"{nbytes/1e6:.1f} MB, {dt:.1f}s — all exact"
+    )
+
+
 def main() -> None:
     native_iters = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
     scan_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
@@ -232,6 +328,7 @@ def main() -> None:
     run_stream(max(native_iters // 10, 100), seed)
     run_scan(scan_iters, seed)
     run_stream_device(max(scan_iters // 100, 20), seed)
+    run_scalar(max(scan_iters // 8, 32), seed)
 
 
 if __name__ == "__main__":
