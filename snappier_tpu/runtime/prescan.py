@@ -36,7 +36,14 @@ TAGS_BEGIN, TAGS_END, LEAD_SRC, LEAD_LEN, TAIL_SRC, TAIL_LEN, OUT_LEN = range(7)
 def scan_fragments_py(arr: np.ndarray):
     """Pure-Python fragment scan. Returns int64 [nf, 7] records, or
     None if a copy crosses a fragment output boundary. Raises
-    InvalidDataError on malformed streams."""
+    InvalidDataError on malformed streams.
+
+    PERFORMANCE WARNING: this walks every tag in a Python loop
+    (~1-2 MB/s of compressed input). It exists only as the fallback
+    when the C++ library is unavailable (``SNAPPIER_NO_NATIVE=1`` or no
+    toolchain); multi-megabyte device decodes without the native
+    scanner are minutes-slow — correct, but the wrong tool. The native
+    ``stpu_scan_fragments`` (snappy_core.cpp) is ~1000x faster."""
     buf = arr
     n = len(buf)
     expected, ip = read_varint(buf)
