@@ -94,16 +94,21 @@ def _tag_lut():
 
 @functools.cache
 def _tag_luts():
-    """Round-3 descriptor tables: three parallel 256-entry arrays that
+    """Round-4 descriptor tables: three parallel 256-entry arrays that
     turn per-tag field unpacking into straight-line arithmetic
     (replaces the round-2 single-LUT + where-chain form; -12 ops/tag):
 
-      d:  bits 0-2 header length, bit 3 is-literal, bits 4-10 length
-          base, bits 14-24 copy-1 offset high bits, bit 31 set only for
-          the 4-extra-byte literal (a nonzero 4th length byte poisons
-          the length so bounds checks reject).
+      d:  bits 0-2 header length, bits 4-10 length base, bits 14-24
+          copy-1 offset high bits, bit 31 (the SIGN bit) is-literal —
+          the round-4 classifier is one `d < 0` compare instead of
+          mask + compare.
       lm: mask over the 4 bytes after the tag contributing to length
           (long literals; 0 elsewhere) — length = (rest & lm) + Lbase.
+          The 4-extra-byte literal's mask is the FULL word: the walk's
+          unsigned length-vs-remaining compare rejects any value a
+          nonzero 4th byte can produce (>= 2^24 as unsigned, larger
+          than every SMEM-legal out_cap), replacing the round-3
+          explicit poison (-4 ops/tag).
       om: mask over those bytes contributing to offset (copies) —
           offset = (rest & om) | offhi. Copy-4's mask is the FULL word:
           a nonzero 4th offset byte makes `off` either negative
@@ -116,13 +121,12 @@ def _tag_luts():
     Cached as NumPy (jnp under jit would capture tracers)."""
     import numpy as _np
 
-    d = _np.zeros(256, _np.int32)
-    lm = _np.zeros(256, _np.int32)
-    om = _np.zeros(256, _np.int32)
+    d = _np.zeros(256, _np.int64)
+    lm = _np.zeros(256, _np.int64)
+    om = _np.zeros(256, _np.int64)
     for t in range(256):
         tt = t & 3
         l6 = t >> 2
-        wide = 0
         if tt == 0:
             is_lit, offhi = 1, 0
             if l6 < 60:
@@ -130,8 +134,7 @@ def _tag_luts():
             else:
                 extra = l6 - 59
                 hdr, base = 1 + extra, 1
-                lm[t] = (1 << (8 * min(extra, 3))) - 1
-                wide = 1 if extra == 4 else 0
+                lm[t] = ((1 << (8 * extra)) - 1) if extra < 4 else -1
         elif tt == 1:
             hdr, base, is_lit, offhi = 2, ((t >> 2) & 7) + 4, 0, (t >> 5) << 8
             om[t] = 0xFF
@@ -141,15 +144,28 @@ def _tag_luts():
         else:
             hdr, base, is_lit, offhi = 5, l6 + 1, 0, 0
             om[t] = -1  # full 4-byte offset (see docstring)
-        v = hdr | (is_lit << 3) | (base << 4) | (offhi << 14) | (wide << 31)
-        d[t] = v - (1 << 32) if v & (1 << 31) else v
-    return d, lm, om
+        d[t] = hdr | (base << 4) | (offhi << 14) | (is_lit << 31)
+
+    def to32(a):
+        return ((a + (1 << 31)) % (1 << 32) - (1 << 31)).astype(_np.int32)
+
+    return to32(d), to32(lm), to32(om)
+
+
+#: Bad-tag instruction-pointer sentinel: far above any legal n (inputs
+#: are SMEM-bounded), far below int32 overflow even after adding a
+#: garbage advance. A failed tag parks ip here so the walk's loop
+#: condition stays the single compare `ip < n` and the error word is
+#: reconstructed after the loop (clean termination lands ip exactly on
+#: n; see _decode_kernel).
+_IP_SENTINEL = 1 << 28
 
 
 def _decode_kernel(keys_ref, lut_ref, lm_ref, om_ref, lens_ref, out_ref,
                    outlen_ref, err_ref, key_smem, ow_smem,
-                   sem_in, sem_out, *, cc, out_cap):
-    """Key-image decode walk (round-3 ablation winner).
+                   sem_in, sem_out, *, cc, out_cap, unroll=2):
+    """Key-image decode walk (round-3 ablation winner; round-4
+    software-pipelined).
 
     The compressed stream ships as a KEY image — one int32 per byte
     holding the unaligned 32-bit little-endian window at that byte
@@ -163,6 +179,20 @@ def _decode_kernel(keys_ref, lut_ref, lm_ref, om_ref, lens_ref, out_ref,
     through funnel shifts. The partial frontier word is always stored
     with a garbage tail (bytes >= the frontier are never read and are
     overwritten by the next tag), so there is no carry register.
+
+    Round-4 walk restructure (tools/perf_probe_r4.py, measured on chip
+    87.3 -> 82.5 ns/tag):
+
+    * Software pipelining: the NEXT tag's five loads (descriptor LUTs +
+      two key-image words) issue as soon as the current tag's advance
+      is known, BEFORE its payload stores, so their latency hides under
+      store work; the loop carries the preloaded values.
+    * The error word is folded into ip (_IP_SENTINEL), the is-literal
+      bit into d's sign, and the 4-extra-byte-literal poison into one
+      unsigned length-vs-remaining compare (see _tag_luts) — together
+      ~6 ops off the per-tag chain.
+    * ``unroll=2`` tags per loop backedge (u3/u4 plateau, measured);
+      the second slot self-neutralizes when the first ends the stream.
     """
     b = pl.program_id(0)
     kc = key_smem.shape[0]
@@ -339,41 +369,52 @@ def _decode_kernel(keys_ref, lut_ref, lm_ref, om_ref, lens_ref, out_ref,
 
         jax.lax.fori_loop(0, K, cpb, 0, unroll=False)
 
-    # --- tag walk --------------------------------------------------------
-    def tag_cond(state):
-        ip, op, err = state
-        return (ip < n) & (err == 0)
+    # --- tag walk (software-pipelined, see module docstring) -------------
+    guard = cc - 1  # clamp for the speculative next-tag preload
 
-    def tag_body(state):
-        ip, op, err = state
-        tag = key_smem[ip] & 0xFF
-        d = lut_ref[tag]
-        # The pre-funneled window at ip+1 IS bytes [ip+1, ip+5) — the
+    def load_tag(i):
+        w = key_smem[i]
+        tag = w & 0xFF
+        # The pre-funneled window at i+1 IS bytes [i+1, i+5) — the
         # whole extra-byte field of every tag in one load (round-3
         # trim: replaces `v32 >> 8` + a separate byte-4 load).
-        rest = key_smem[ip + 1]
+        return lut_ref[tag], lm_ref[tag], om_ref[tag], key_smem[i + 1]
+
+    def one_tag(st):
+        """Process the tag whose preloaded descriptors ride in st;
+        return the next state with the NEXT tag already preloaded."""
+        ip, op, d, lm, om, rest = st
         hdr = d & 7
-        is_lit = (d & 8) != 0
+        is_lit = d < 0
         # Straight-line field extraction via the three parallel LUTs
         # (_tag_luts): length = masked extra bytes + base; offset =
         # masked extra bytes | copy-1 high bits. Copy-4 reads its full
         # 4-byte offset (om = -1): an out-of-range value fails the
-        # off-bounds check naturally. Only the 4-extra-byte literal
-        # (d's sign bit) needs a poison when its 4th length byte is
-        # nonzero — the real length would exceed any SMEM-legal
-        # out_cap, so the bounds check below rejects it.
-        length = (rest & lm_ref[tag]) + ((d >> 4) & 0x7F)
-        off = (rest & om_ref[tag]) | ((d >> 14) & 0x7FF)
-        length = jnp.where(
-            (d < 0) & (jax.lax.shift_right_logical(rest, 24) != 0),
-            _POISON, length,
-        )
-
+        # off-bounds check naturally.
+        length = (rest & lm) + ((d >> 4) & 0x7F)
+        off = (rest & om) | ((d >> 14) & 0x7FF)
         advance = hdr + jnp.where(is_lit, length, 0)
-        bad = (ip + advance > n) | (op + length > expected)
+        ip2 = ip + advance
+        # Speculative preload of the NEXT tag before this tag's payload
+        # stores: the five loads' latency hides under the store work.
+        # ip2 can be garbage (bad tag) — the clip only protects the
+        # loads; validity is re-established below.
+        d2, lm2, om2, rest2 = load_tag(jnp.clip(ip2, 0, guard))
+
+        # Bounds. The unsigned compare length >u (expected - op) folds
+        # three checks into one: length > remaining output, length
+        # negative (wraps to huge), and the 4-extra-byte literal with a
+        # nonzero 4th byte (>= 2^24 unsigned, > any SMEM-legal out_cap
+        # — see _tag_luts). expected - op >= 0 is a loop invariant, so
+        # the unsigned view of the remainder is exact. This must come
+        # before trusting ip2: a literal length near 2^31 can wrap
+        # ip + advance negative, sliding past `ip2 > n` — the length
+        # check rejects those first.
+        bad = (ip2 > n) | (
+            length.astype(jnp.uint32) > (expected - op).astype(jnp.uint32)
+        )
         bad = bad | (~is_lit & ((off <= 0) | (off > op)))
-        e = jnp.where(bad, _ERR_MALFORMED, 0)
-        ok = ~bad
+        ok = (~bad) & (ip < n)
 
         @pl.when(ok & is_lit)
         def _():
@@ -396,15 +437,32 @@ def _decode_kernel(keys_ref, lut_ref, lm_ref, om_ref, lens_ref, out_ref,
                 off2 = off * (14 // jnp.maximum(off, 1))
                 append_stream(op + 14 - off2, op + 14, length - 14)
 
-        # Unconditional advances: on a bad tag the loop exits via e, so
-        # a garbage ip/op is never observed (the post-loop length check
-        # and outlen are both gated on err == 0).
-        return ip + advance, op + length, e
+        ip3 = jnp.where(bad, _IP_SENTINEL, ip2)
+        # Unrolled-slot neutralization: once a prior slot ends the
+        # stream (clean ip == n or sentinel), later slots in the same
+        # backedge must not move.
+        ip3 = jnp.where(ip >= n, ip, ip3)
+        op3 = jnp.where(ok, op + length, op)
+        return ip3, op3, d2, lm2, om2, rest2
 
-    ip, op, err = jax.lax.while_loop(
-        tag_cond, tag_body, (pre_len, jnp.int32(0), err)
+    def tag_cond(st):
+        return st[0] < n
+
+    def tag_body(st):
+        for _ in range(unroll):
+            st = one_tag(st)
+        return st
+
+    ip0 = jnp.where(err == 0, pre_len, jnp.int32(_IP_SENTINEL))
+    d0, lm0, om0, rest0 = load_tag(jnp.clip(ip0, 0, guard))
+    ip, op, _, _, _, _ = jax.lax.while_loop(
+        tag_cond, tag_body, (ip0, jnp.int32(0), d0, lm0, om0, rest0)
     )
-    err = jnp.where((err == 0) & (op != expected), ERR_LENGTH_MISMATCH, err)
+    walk_err = jnp.where(ip != n, _ERR_MALFORMED, 0)
+    walk_err = jnp.where(
+        (walk_err == 0) & (op != expected), ERR_LENGTH_MISMATCH, walk_err
+    )
+    err = jnp.where(err != 0, err, walk_err)
 
     outlen_ref[b] = jnp.where(err == 0, expected, 0)
     err_ref[b] = err
@@ -444,11 +502,13 @@ def _compiler_params(core_parallel: bool):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("out_cap", "interpret", "packed", "core_parallel"),
+    static_argnames=(
+        "out_cap", "interpret", "packed", "core_parallel", "unroll"
+    ),
 )
 def decode_blocks_scalar(
     comp, comp_lens, out_cap: int = BLOCK_SIZE, interpret: bool | None = None,
-    packed: bool = False, core_parallel: bool | None = None,
+    packed: bool = False, core_parallel: bool | None = None, unroll: int = 2,
 ):
     """Decode a batch of Snappy blocks on the TPU scalar core.
 
@@ -460,6 +520,8 @@ def decode_blocks_scalar(
       packed: return word-packed rows int32[B, out_cap//4] (4 LE bytes
         per int32) instead of byte-per-int32 — 4x fewer bytes over the
         host link; view as uint8 host-side.
+      unroll: tags decoded per walk backedge (2 measured best on v5e,
+        tools/perf_probe_r4.py; 3/4 plateau).
 
     Returns: (out int32[B, out_cap], out_lens int32[B], errs int32[B]),
     or with ``packed`` (out int32[B, out_cap//4], out_lens, errs).
@@ -480,7 +542,9 @@ def decode_blocks_scalar(
     keys = _keys_from_frags(comp)[:, : CC + 1024]
     kc = CC + 1024
     owc = -(-(out_cap + 1024) // 4 // 1024) * 1024  # words, DMA-tiled
-    kern = functools.partial(_decode_kernel, cc=CC, out_cap=out_cap)
+    kern = functools.partial(
+        _decode_kernel, cc=CC, out_cap=out_cap, unroll=unroll
+    )
     ow_flat, out_lens, errs = pl.pallas_call(
         kern,
         grid=(B,),

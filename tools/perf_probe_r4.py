@@ -49,10 +49,46 @@ from snappier_tpu.ops.pallas.scalar_codec import (
     _POISON,
     _ERR_MALFORMED,
     _keys_from_frags,
-    _tag_luts,
     decode_blocks_scalar,
     encode_blocks_scalar,
 )
+
+
+@functools.cache
+def _tag_luts():
+    """Round-3 LUT layout (is-literal at bit 3, wide-literal poison at
+    bit 31) — the `pipe` variant's kernel predates the round-4
+    production relayout, so it keeps a frozen copy here."""
+    import numpy as _np
+
+    d = _np.zeros(256, _np.int32)
+    lm = _np.zeros(256, _np.int32)
+    om = _np.zeros(256, _np.int32)
+    for t in range(256):
+        tt = t & 3
+        l6 = t >> 2
+        wide = 0
+        if tt == 0:
+            is_lit, offhi = 1, 0
+            if l6 < 60:
+                hdr, base = 1, l6 + 1
+            else:
+                extra = l6 - 59
+                hdr, base = 1 + extra, 1
+                lm[t] = (1 << (8 * min(extra, 3))) - 1
+                wide = 1 if extra == 4 else 0
+        elif tt == 1:
+            hdr, base, is_lit, offhi = 2, ((t >> 2) & 7) + 4, 0, (t >> 5) << 8
+            om[t] = 0xFF
+        elif tt == 2:
+            hdr, base, is_lit, offhi = 3, l6 + 1, 0, 0
+            om[t] = 0xFFFF
+        else:
+            hdr, base, is_lit, offhi = 5, l6 + 1, 0, 0
+            om[t] = -1
+        v = hdr | (is_lit << 3) | (base << 4) | (offhi << 14) | (wide << 31)
+        d[t] = v - (1 << 32) if v & (1 << 31) else v
+    return d, lm, om
 
 
 def timeit(fn, iters=5, passes=3):
@@ -655,6 +691,20 @@ def decode_pipe2(comp, comp_lens, out_cap: int = BLOCK_SIZE, unroll: int = 1):
 # on_hit. encnoemit: production walk with all emission removed — the
 # walk/extension vs emission split for the round-4 budget table.
 
+# encext8: stride-8 extension walk — encstats shows ext iterations
+# dominate the walk (14407/block vs 725 miss + 3138 hit probes on
+# html, avg match 19.5 B), so halving the extension backedges is the
+# big lever. Seeding drops to one entry per 8 matched bytes (avg ~2.4
+# entries/match, still >= the reference's 2/match) — output is NOT
+# byte-identical to production, so the harness validates by decoding.
+#
+# enctrim: probe-iteration op trim — (a) epoch check fused into one
+# unsigned compare (entry - epoch <u ip+d covers stale-epoch, bounds,
+# and self-reference at once), (b) candidate selection (10 wheres)
+# deferred into the hit branch so the ~85% miss iterations skip it.
+#
+# encfull: both.
+
 from snappier_tpu.ops.pallas.scalar_codec import _HASH_BITS, _HASH_MUL
 
 
@@ -770,20 +820,46 @@ def _encode_kernel_r4(keys_ref, hashes_ref, lens_ref, out_ref, outlen_ref,
         return jnp.where(is_split, op2, op1)
 
     margin = 15
+    ext8 = variant in ("encext8", "encfull")
+    trim = variant in ("enctrim", "encfull")
 
     def ext_and_emit(at, cand, lit_start, op):
-        def ext_body(st):
-            m, _ = st
-            p = jnp.minimum(at + m - 3, n - 5)
-            table_smem[hash_smem[p]] = epoch | p
-            return m + 4, key(at + m) == key(cand + m)
+        if ext8:
+            def ext_body(st):
+                m, _ = st
+                p = jnp.minimum(at + m - 3, n - 5)
+                table_smem[hash_smem[p]] = epoch | p
+                eq0 = key(at + m) == key(cand + m)
+                eq1 = key(at + m + 4) == key(cand + m + 4)
+                return m + jnp.where(eq0, jnp.where(eq1, 8, 4), 0), eq0 & eq1
 
-        def ext_cond(st):
-            m, go = st
-            return go & (at + m + 4 <= n)
+            def ext_cond(st):
+                m, go = st
+                return go & (at + m + 8 <= n)
 
-        m, go = jax.lax.while_loop(ext_cond, ext_body, (jnp.int32(4), True))
-        m = jnp.where(go, m, m - 4)
+            m, go = jax.lax.while_loop(
+                ext_cond, ext_body, (jnp.int32(4), True)
+            )
+            # go False: m points at the mismatching group (no overshoot
+            # by construction). go True (bounds): at most one stride-4
+            # group remains.
+            can4 = go & (at + m + 4 <= n) & (key(at + m) == key(cand + m))
+            m = m + jnp.where(can4, 4, 0)
+        else:
+            def ext_body(st):
+                m, _ = st
+                p = jnp.minimum(at + m - 3, n - 5)
+                table_smem[hash_smem[p]] = epoch | p
+                return m + 4, key(at + m) == key(cand + m)
+
+            def ext_cond(st):
+                m, go = st
+                return go & (at + m + 4 <= n)
+
+            m, go = jax.lax.while_loop(
+                ext_cond, ext_body, (jnp.int32(4), True)
+            )
+            m = jnp.where(go, m, m - 4)
         x = key(at + m) ^ key(cand + m)
         t0 = jnp.where((x & 0xFF) == 0, 1, 0)
         t1 = jnp.where((x & 0xFFFF) == 0, 1, 0)
@@ -825,6 +901,46 @@ def _encode_kernel_r4(keys_ref, hashes_ref, lens_ref, out_ref, outlen_ref,
             jnp.where(hits[1], cands[1], jnp.where(hits[2], cands[2], cands[3])),
         )
         return hit_any, d_first, cand_first
+
+    def probe_group_trim(ip, curs, hs):
+        """Hit DETECTION only (~10 fewer ops than probe_group): the
+        epoch check folds into one unsigned compare (entry - epoch is
+        the candidate position iff same epoch; any stale epoch or
+        self/forward reference lands >= ip+d as unsigned). Candidate
+        SELECTION re-derives from the returned entries inside the hit
+        branch (resolve_hit) so the ~85% miss iterations skip its 10
+        selects."""
+        entries = [table_smem[h] for h in hs]
+        for d in range(4):
+            table_smem[hs[d]] = epoch | (ip + d)
+        hits = []
+        for d in range(4):
+            cand_t = entries[d] - epoch
+            okd = (
+                cand_t.astype(jnp.uint32) < (ip + d).astype(jnp.uint32)
+            ) & (key_v(cand_t & 0xFFFF) == curs[d])
+            for i in range(d):
+                okd = okd | (curs[i] == curs[d])
+            hits.append(okd)
+        hit_any = hits[0] | hits[1] | hits[2] | hits[3]
+        return hit_any, entries, hits
+
+    def resolve_hit(ip, curs, entries, hits):
+        cands = []
+        for d in range(4):
+            cand = (entries[d] - epoch) & 0xFFFF
+            for i in range(d):
+                cand = jnp.where(curs[i] == curs[d], ip + i, cand)
+            cands.append(cand)
+        d_first = jnp.where(
+            hits[0], 0, jnp.where(hits[1], 1, jnp.where(hits[2], 2, 3))
+        )
+        cand_first = jnp.where(
+            hits[0],
+            cands[0],
+            jnp.where(hits[1], cands[1], jnp.where(hits[2], cands[2], cands[3])),
+        )
+        return d_first, cand_first
 
     def loads_at(ip):
         return (
@@ -928,6 +1044,23 @@ def _encode_kernel_r4(keys_ref, hashes_ref, lens_ref, out_ref, outlen_ref,
                 *c0_, *h0_)
         st = jax.lax.while_loop(scan_cond, scan_body, init)
         ip, lit_start, op = st[0], st[1], st[2]
+    elif trim:
+        def scan_body(st):
+            ip, lit_start, op, skip = st
+            curs, hs = loads_at(ip)
+            hit_any, entries, hits = probe_group_trim(ip, curs, hs)
+
+            def hitp():
+                d_first, cand_first = resolve_hit(ip, curs, entries, hits)
+                at = ip + d_first
+                end, ls, op3 = ext_and_emit(at, cand_first, lit_start, op)
+                return (end, ls, op3, jnp.int32(skip_base))
+
+            return jax.lax.cond(
+                hit_any,
+                hitp,
+                lambda: (ip + 3 + (skip >> 5), lit_start, op, skip + 1),
+            )
     else:
         def scan_body(st):
             ip, lit_start, op, skip = st
@@ -1221,16 +1354,44 @@ def main():
             efn = lambda v=v: encode_r4(fd, ld, variant=v)
         eb, el = efn()
         el_h = np.asarray(el)
-        assert (el_h == enc_ref_lens).all(), f"{v} body_lens mismatch"
-        if v != "encnoemit":
+        ratio_note = ""
+        if v in ("encext8", "encfull"):
+            # Stride-8 extension seeds the table differently, so the
+            # output is a different VALID encoding: verify by decoding
+            # and report the density delta instead of byte identity.
+            eb_h = np.asarray(eb, np.uint8)
+            rows = []
+            for i in range(B):
+                body = eb_h[i, : el_h[i]].tobytes()
+                rows.append(b"\x80\x80\x04" + body)  # varint(65536)
+            cc = -(-max(len(r) for r in rows) // 1024) * 1024
+            darr = np.zeros((B, cc), np.int32)
+            for i, r in enumerate(rows):
+                darr[i, : len(r)] = np.frombuffer(r, np.uint8)
+            dlens = np.array([len(r) for r in rows], np.int32)
+            dout, dol, derr = decode_blocks_scalar(
+                jnp.asarray(darr), jnp.asarray(dlens), out_cap=BLOCK_SIZE
+            )
+            assert int(np.max(np.asarray(derr))) == 0, f"{v} decode err"
             assert (
-                np.asarray(eb, np.uint8)[:, : bodies_h.shape[1]][0, : el_h[0]]
-                == bodies_h[0, : el_h[0]]
-            ).all(), f"{v} bytes mismatch"
+                np.asarray(dout, np.uint8) == np.asarray(fd, np.uint8)
+            ).all(), f"{v} roundtrip mismatch"
+            ratio_note = (
+                f", size {el_h.sum()/enc_ref_lens.sum()*100:.2f}% of base"
+            )
+        else:
+            assert (el_h == enc_ref_lens).all(), f"{v} body_lens mismatch"
+            if v != "encnoemit":
+                assert (
+                    np.asarray(eb, np.uint8)[:, : bodies_h.shape[1]][
+                        0, : el_h[0]
+                    ]
+                    == bodies_h[0, : el_h[0]]
+                ).all(), f"{v} bytes mismatch"
         t = timeit(efn)
         print(
             f"{v}: {t*1e3:.2f} ms/batch, {t/B*1e6:.1f} us/block, "
-            f"{B*BLOCK_SIZE/t/1e6:.1f} MB/s"
+            f"{B*BLOCK_SIZE/t/1e6:.1f} MB/s{ratio_note}"
         )
     variants = [x for x in variants if not x.startswith("enc")]
 
