@@ -241,3 +241,52 @@ def test_core_parallel_grid_semantics():
     bb1, bl1 = encode_blocks_best(fd, ld, core_parallel=True)
     assert (np.asarray(bl0) == np.asarray(bl1)).all()
     assert (np.asarray(bb0) == np.asarray(bb1)).all()
+
+
+def test_scalar_decode_int32_wrap_literal_attack():
+    """Adversarial 4-extra-byte literal whose length field is crafted
+    so ``op + length`` (and ``ip + advance``) wrap int32 — a naive
+    signed bounds check slides past both terms and the payload loop
+    would write ~2^29 words out of SMEM bounds. The round-4 walk's
+    unsigned length-vs-remaining compare must reject every such value
+    (the probe variant this walk was landed from missed the wrap case;
+    regression-pinned here)."""
+    wraps = [
+        bytes([0xFE, 0xFF, 0xFF, 0x7F]),  # length = 0x7FFFFFFF
+        bytes([0xFF, 0xFF, 0xFF, 0x7F]),  # length = -0x80000000 (wraps)
+        bytes([0xFF, 0xFF, 0xFF, 0xFF]),  # length = 0 after wrap + poison bits
+        bytes([0x00, 0x00, 0x00, 0x80]),  # negative length field
+        bytes([0x00, 0x00, 0x80, 0x00]),  # 8 MiB claim, no wrap
+    ]
+    bad = [bytes([0x80, 0x80, 0x04]) + bytes([0xFC]) + w + b"x" * 64
+           for w in wraps]
+    _, _, errs = _dec(bad)
+    assert (errs != 0).all(), errs
+
+
+def test_scalar_decode_unroll_variants_agree():
+    """The walk's unroll factor is pure scheduling: outputs, lengths
+    and error words must be identical at every factor, including on
+    streams that end mid-backedge (odd/even tag counts) and on
+    malformed input (sentinel parking in a neutralized slot)."""
+    datas = [b"unroll " * 40, b"z", b"", bytes(range(7)) * 100]
+    comps = [oracle.compress(np.frombuffer(d, np.uint8)) for d in datas]
+    comps.append(bytes([10, 3 << 2]) + b"ab")  # malformed: truncated
+    B = len(comps)
+    comp = np.zeros((B, CC), np.int32)
+    lens = np.zeros(B, np.int32)
+    for i, c in enumerate(comps):
+        a = np.frombuffer(bytes(c), np.uint8)
+        comp[i, : len(a)] = a
+        lens[i] = len(a)
+    ref = None
+    for unroll in (1, 2, 3):
+        out, olens, errs = decode_blocks_scalar(
+            jnp.asarray(comp), jnp.asarray(lens), out_cap=F, unroll=unroll
+        )
+        got = (np.asarray(out), np.asarray(olens), np.asarray(errs))
+        if ref is None:
+            ref = got
+        else:
+            for a, b in zip(ref, got):
+                assert (a == b).all(), unroll

@@ -421,7 +421,7 @@ _SENT = 0x40000000  # bad-tag ip sentinel (> any n, traces as a literal)
 
 def _decode_kernel_pipe2(keys_ref, lut_ref, lm_ref, om_ref, lens_ref,
                          out_ref, outlen_ref, err_ref, key_smem, ow_smem,
-                         sem_in, sem_out, *, cc, out_cap, unroll):
+                         sem_in, sem_out, *, cc, out_cap, unroll, emit=True):
     b = pl.program_id(0)
     kc = key_smem.shape[0]
     owc = ow_smem.shape[0]
@@ -576,23 +576,24 @@ def _decode_kernel_pipe2(keys_ref, lut_ref, lm_ref, om_ref, lens_ref,
         bad = bad | (~is_lit & ((off <= 0) | (off > op)))
         ok = (~bad) & (ip < n)
 
-        @pl.when(ok & is_lit)
-        def _():
-            append_lit(ip + hdr, op, length)
-
-        @pl.when(ok & ~is_lit & (off >= 8))
-        def _():
-            append_stream(op - off, op, length)
-
-        @pl.when(ok & ~is_lit & (off < 8))
-        def _():
-            head = jnp.minimum(length, 14)
-            append_bytes(op - off, op, head)
-
-            @pl.when(length > 14)
+        if emit:
+            @pl.when(ok & is_lit)
             def _():
-                off2 = off * (14 // jnp.maximum(off, 1))
-                append_stream(op + 14 - off2, op + 14, length - 14)
+                append_lit(ip + hdr, op, length)
+
+            @pl.when(ok & ~is_lit & (off >= 8))
+            def _():
+                append_stream(op - off, op, length)
+
+            @pl.when(ok & ~is_lit & (off < 8))
+            def _():
+                head = jnp.minimum(length, 14)
+                append_bytes(op - off, op, head)
+
+                @pl.when(length > 14)
+                def _():
+                    off2 = off * (14 // jnp.maximum(off, 1))
+                    append_stream(op + 14 - off2, op + 14, length - 14)
 
         ip3 = jnp.where(bad, _SENT, ip2)
         ip3 = jnp.where(ip >= n, ip, ip3)  # second-slot neutralization
@@ -627,8 +628,9 @@ def _decode_kernel_pipe2(keys_ref, lut_ref, lm_ref, om_ref, lens_ref,
     cp_out.wait()
 
 
-@functools.partial(jax.jit, static_argnames=("out_cap", "unroll"))
-def decode_pipe2(comp, comp_lens, out_cap: int = BLOCK_SIZE, unroll: int = 1):
+@functools.partial(jax.jit, static_argnames=("out_cap", "unroll", "emit"))
+def decode_pipe2(comp, comp_lens, out_cap: int = BLOCK_SIZE, unroll: int = 1,
+                 emit: bool = True):
     comp = comp.astype(jnp.int32)
     B, CC = comp.shape
     assert CC % 1024 == 0 and out_cap % 1024 == 0
@@ -636,7 +638,7 @@ def decode_pipe2(comp, comp_lens, out_cap: int = BLOCK_SIZE, unroll: int = 1):
     kc = CC + 1024
     owc = -(-(out_cap + 1024) // 4 // 1024) * 1024
     kern = functools.partial(
-        _decode_kernel_pipe2, cc=CC, out_cap=out_cap, unroll=unroll
+        _decode_kernel_pipe2, cc=CC, out_cap=out_cap, unroll=unroll, emit=emit
     )
     ow_flat, out_lens, errs = pl.pallas_call(
         kern,
@@ -1078,6 +1080,7 @@ def _encode_kernel_r4(keys_ref, hashes_ref, lens_ref, out_ref, outlen_ref,
                 lambda: (ip + 3 + (skip >> 5), lit_start, op, skip + 1),
             )
 
+    if variant not in ("enc2loop", "encpre"):
         ip, lit_start, op, skip = jax.lax.while_loop(
             scan_cond, scan_body,
             (jnp.minimum(jnp.int32(1), n), jnp.int32(0), jnp.int32(0),
@@ -1409,13 +1412,22 @@ def main():
             fn = lambda: decode_pipe2(bd, bl, out_cap=BLOCK_SIZE, unroll=3)
         elif v == "pipe2u4":
             fn = lambda: decode_pipe2(bd, bl, out_cap=BLOCK_SIZE, unroll=4)
+        elif v == "denoemit":
+            # Walk with payload stores removed: the decode-side
+            # walk/emission split for the round-4 budget table. Output
+            # is garbage; only errs/timing are meaningful.
+            fn = lambda: decode_pipe2(
+                bd, bl, out_cap=BLOCK_SIZE, unroll=2, emit=False
+            )
         else:
             print(f"unknown variant {v}")
             continue
         out, olens, errs = fn()
         out_h = np.asarray(out, np.uint8)
         assert int(np.max(np.asarray(errs))) == 0, v
-        if ref_out is None:
+        if v == "denoemit":
+            pass  # no payload stores: output is garbage by design
+        elif ref_out is None:
             ref_out = out_h
         else:
             assert (out_h == ref_out).all(), f"{v} output mismatch"
