@@ -711,9 +711,9 @@ from snappier_tpu.ops.pallas.scalar_codec import _HASH_BITS, _HASH_MUL
 
 
 def _encode_kernel_r4(keys_ref, hashes_ref, lens_ref, out_ref, outlen_ref,
-                      key_smem, hash_smem, out_smem, table_smem, sem_in,
-                      sem_hash, sem_out, *, variant, hash_bits=_HASH_BITS,
-                      skip_base=32):
+                      key_smem, hash_smem, out_smem, table_smem, hold_smem,
+                      sem_in, sem_hash, sem_out, *, variant,
+                      hash_bits=_HASH_BITS, skip_base=32):
     b = pl.program_id(0)
     fc = key_smem.shape[0]
     oc = out_smem.shape[0]
@@ -822,11 +822,16 @@ def _encode_kernel_r4(keys_ref, hashes_ref, lens_ref, out_ref, outlen_ref,
         return jnp.where(is_split, op2, op1)
 
     margin = 15
-    ext8 = variant in ("encext8", "encfull")
-    trim = variant in ("enctrim", "encfull")
+    ext_mode = (
+        "ext8" if variant in ("encext8", "encfull")
+        else "ext8u" if variant in ("encext8u", "encwhen8")
+        else "ext16u" if variant == "encext16u"
+        else "ext4"
+    )
+    trim = variant in ("enctrim", "encfull", "encwhen", "encwhen8")
 
     def ext_and_emit(at, cand, lit_start, op):
-        if ext8:
+        if ext_mode == "ext8":
             def ext_body(st):
                 m, _ = st
                 p = jnp.minimum(at + m - 3, n - 5)
@@ -847,6 +852,71 @@ def _encode_kernel_r4(keys_ref, hashes_ref, lens_ref, out_ref, outlen_ref,
             # group remains.
             can4 = go & (at + m + 4 <= n) & (key(at + m) == key(cand + m))
             m = m + jnp.where(can4, 4, 0)
+        elif ext_mode == "ext8u":
+            # UNCONDITIONAL m += 8 (the encext8 failure analysis: a
+            # data-dependent advance chains next-m on this group's
+            # compares, doubling per-iteration latency; here the
+            # compares feed only the loop condition, exactly like the
+            # production stride-4 walk, and the exit backs up from the
+            # carried eq bits).
+            def ext_body(st):
+                m, _, _ = st
+                p = jnp.minimum(at + m - 3, n - 5)
+                table_smem[hash_smem[p]] = epoch | p
+                eq0 = key(at + m) == key(cand + m)
+                eq1 = key(at + m + 4) == key(cand + m + 4)
+                return m + 8, eq0 & eq1, eq0
+
+            def ext_cond(st):
+                m, go, _ = st
+                return go & (at + m + 8 <= n)
+
+            m, go, eq0l = jax.lax.while_loop(
+                ext_cond, ext_body, (jnp.int32(4), True, True)
+            )
+            m = jnp.where(go, m, m - 8 + jnp.where(eq0l, 4, 0))
+            can4 = go & (at + m + 4 <= n) & (key(at + m) == key(cand + m))
+            m = m + jnp.where(can4, 4, 0)
+        elif ext_mode == "ext16u":
+            def ext_body(st):
+                m = st[0]
+                p = jnp.minimum(at + m - 3, n - 5)
+                table_smem[hash_smem[p]] = epoch | p
+                p2 = jnp.minimum(at + m + 5, n - 5)
+                table_smem[hash_smem[p2]] = epoch | p2
+                eqs = [
+                    key(at + m + 4 * i) == key(cand + m + 4 * i)
+                    for i in range(4)
+                ]
+                e01 = eqs[0] & eqs[1]
+                e012 = e01 & eqs[2]
+                return m + 16, e012 & eqs[3], eqs[0], e01, e012
+
+            def ext_cond(st):
+                return st[1] & (at + st[0] + 16 <= n)
+
+            m16, go, e0, e01, e012 = jax.lax.while_loop(
+                ext_cond, ext_body,
+                (jnp.int32(4), True, True, True, True),
+            )
+            lead = (
+                jnp.where(e0, 4, 0)
+                + jnp.where(e01, 4, 0)
+                + jnp.where(e012, 4, 0)
+            )
+            mismatch_m = m16 - 16 + lead
+            # Bounds exit: up to 3 stride-4 groups remain.
+            def fin_body(st2):
+                m2, _ = st2
+                return m2 + 4, key(at + m2) == key(cand + m2)
+
+            def fin_cond(st2):
+                m2, go2 = st2
+                return go2 & (at + m2 + 4 <= n)
+
+            m2, go2 = jax.lax.while_loop(fin_cond, fin_body, (m16, go))
+            fin_m = jnp.where(go2, m2, m2 - 4)
+            m = jnp.where(go, fin_m, mismatch_m)
         else:
             def ext_body(st):
                 m, _ = st
@@ -1046,6 +1116,32 @@ def _encode_kernel_r4(keys_ref, hashes_ref, lens_ref, out_ref, outlen_ref,
                 *c0_, *h0_)
         st = jax.lax.while_loop(scan_cond, scan_body, init)
         ip, lit_start, op = st[0], st[1], st[2]
+    elif variant in ("encwhen", "encwhen8"):
+        # The ~50-cycle lax.cond (executed EVERY probe iteration,
+        # ~205 us/block at 3,863 iterations) replaced by a ~3-cycle
+        # pl.when region; the hit path's results (new frontier, new
+        # emission offset) flow out through two SMEM scratch cells,
+        # read back under a where — stale reads on the miss path are
+        # masked by the select.
+        def scan_body(st):
+            ip, lit_start, op, skip = st
+            curs, hs = loads_at(ip)
+            hit_any, entries, hits = probe_group_trim(ip, curs, hs)
+
+            @pl.when(hit_any)
+            def _():
+                d_first, cand_first = resolve_hit(ip, curs, entries, hits)
+                at = ip + d_first
+                end, ls, op3 = ext_and_emit(at, cand_first, lit_start, op)
+                hold_smem[0] = end
+                hold_smem[1] = op3
+
+            end_h = hold_smem[0]
+            ip2 = jnp.where(hit_any, end_h, ip + 3 + (skip >> 5))
+            ls2 = jnp.where(hit_any, end_h, lit_start)
+            op2 = jnp.where(hit_any, hold_smem[1], op)
+            sk2 = jnp.where(hit_any, jnp.int32(skip_base), skip + 1)
+            return ip2, ls2, op2, sk2
     elif trim:
         def scan_body(st):
             ip, lit_start, op, skip = st
@@ -1127,6 +1223,7 @@ def encode_r4(frags, lengths, variant: str = "encpre"):
             pltpu.SMEM((F + 1024,), jnp.int32),
             pltpu.SMEM((ocw,), jnp.int32),
             pltpu.SMEM((1 << _HASH_BITS,), jnp.int32),
+            pltpu.SMEM((8,), jnp.int32),  # hold cells (encwhen*)
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
@@ -1358,7 +1455,7 @@ def main():
         eb, el = efn()
         el_h = np.asarray(el)
         ratio_note = ""
-        if v in ("encext8", "encfull"):
+        if v in ("encext8", "encfull", "encext8u", "encext16u", "encwhen8"):
             # Stride-8 extension seeds the table differently, so the
             # output is a different VALID encoding: verify by decoding
             # and report the density delta instead of byte identity.
