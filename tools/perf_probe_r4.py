@@ -739,6 +739,16 @@ def _encode_kernel_r4(keys_ref, hashes_ref, lens_ref, out_ref, outlen_ref,
     epoch = ((b & 0x7FFF) + 1) << 16
     emit = variant != "encnoemit"
 
+    if variant == "encdmaonly":
+        # DMA + dispatch share: the walk removed entirely.
+        outlen_ref[b] = n
+        cp_out = pltpu.make_async_copy(
+            out_smem, out_ref.at[pl.ds(b * oc, oc)], sem_out
+        )
+        cp_out.start()
+        cp_out.wait()
+        return
+
     def tag3(p, tagword):
         w = p >> 2
         da8 = (p & 3) * 8
@@ -805,6 +815,8 @@ def _encode_kernel_r4(keys_ref, hashes_ref, lens_ref, out_ref, outlen_ref,
             tag3(op, b0 | ((off & 0xFF) << 8) | (((off >> 8) & 0xFF) << 16))
         return op + jnp.where(is1, 2, 3)
 
+    copywhen = variant in ("enccopywhen", "encr4")
+
     def emit_copy(op, off, length):
         def big_cond(st):
             op, length = st
@@ -814,7 +826,26 @@ def _encode_kernel_r4(keys_ref, hashes_ref, lens_ref, out_ref, outlen_ref,
             op, length = st
             return emit_copy_upto64(op, off, 64), length - 64
 
-        op, length = jax.lax.while_loop(big_cond, big_body, (op, length))
+        if copywhen:
+            # The >= 68 loop runs for ~0 copies on typical data (avg
+            # match 19.5 B) but its data-dependent entry costs ~20 ns
+            # per hit; gate the whole repeated-64 emission behind a
+            # ~3-cycle pl.when and carry the common case's op/length
+            # through a select. The loop's state flows out through
+            # hold cells (pl.when is statement-level).
+            @pl.when(length >= 68)
+            def _():
+                op_l, len_l = jax.lax.while_loop(
+                    big_cond, big_body, (op, length)
+                )
+                hold_smem[2] = op_l
+                hold_smem[3] = len_l
+
+            big = length >= 68
+            op = jnp.where(big, hold_smem[2], op)
+            length = jnp.where(big, hold_smem[3], length)
+        else:
+            op, length = jax.lax.while_loop(big_cond, big_body, (op, length))
         is_split = length > 64
         l1 = jnp.where(is_split, 60, length)
         op1 = emit_copy_upto64(op, off, l1)
@@ -824,7 +855,7 @@ def _encode_kernel_r4(keys_ref, hashes_ref, lens_ref, out_ref, outlen_ref,
     margin = 15
     ext_mode = (
         "ext8" if variant in ("encext8", "encfull")
-        else "ext8u" if variant in ("encext8u", "encwhen8")
+        else "ext8u" if variant in ("encext8u", "encwhen8", "encr4")
         else "ext16u" if variant == "encext16u"
         else "ext4"
     )
@@ -1455,7 +1486,15 @@ def main():
         eb, el = efn()
         el_h = np.asarray(el)
         ratio_note = ""
-        if v in ("encext8", "encfull", "encext8u", "encext16u", "encwhen8"):
+        if v == "encdmaonly":
+            t = timeit(efn)
+            print(
+                f"{v}: {t*1e3:.2f} ms/batch, {t/B*1e6:.1f} us/block "
+                "(DMA + dispatch share, no walk)"
+            )
+            continue
+        if v in ("encext8", "encfull", "encext8u", "encext16u", "encwhen8",
+                 "encr4"):
             # Stride-8 extension seeds the table differently, so the
             # output is a different VALID encoding: verify by decoding
             # and report the density delta instead of byte identity.
