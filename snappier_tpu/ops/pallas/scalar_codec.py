@@ -608,31 +608,53 @@ _HASH_MUL = 0x1E35A7BD  # HashTable.cs magic-multiply form
 def _match_extension(key, at, cand, n, seed=None):
     """Match-extension walk: given a verified 4-byte seed match
     (``key(at) == key(cand)``, the caller's probe check), return the
-    full match length ``m`` in [4, n - at] — one merged loop extending
-    at stride 4 (FindMatchLength shape, SnappyCompressor.cs:562-688)
-    followed by a branchless <= 3-byte tail from the XOR of the next
-    4-byte groups (the trailing-zero-byte count of the XOR is the
-    extra match length; replaces a byte-compare while loop).
+    full match length ``m`` in [4, n - at] — a stride-8 loop comparing
+    two 4-byte groups per backedge (FindMatchLength shape,
+    SnappyCompressor.cs:562-688) followed by a branchless <= 3-byte
+    tail from the XOR of the next 4-byte groups (the trailing-zero-byte
+    count of the XOR is the extra match length; replaces a byte-compare
+    while loop).
 
-    ``seed(pos)`` is called once per stride-4 step (fast mode's
-    hash-table seeding); None in best mode and in the test probe.
-    Validated against the reference's FindMatchLength golden-vector
-    table (SnappyCompressorTests.cs:10-96) via match_extension_probe.
-    """
+    Round-4 restructure (tools/perf_probe_r4.py encext8u, +3.5% encode
+    on chip): the advance is an UNCONDITIONAL m += 8 — the compares
+    feed only the loop condition, keeping per-iteration latency equal
+    to the old stride-4 walk while halving backedge/branch resolutions
+    (a data-dependent advance was measured to give the halving back in
+    chained latency). The exit backs up from the carried eq bits; a
+    bounds exit finishes with at most one stride-4 group. Returns the
+    same exact maximal length as the stride-4 walk for every input.
+
+    ``seed(pos)`` is called once per stride-8 step (fast mode's
+    hash-table seeding, ~2.4 entries per average match — still denser
+    than the reference's 2 per match; the measured cost of the halved
+    density is +0.04-0.64% compressed size on html, inside the
+    <= -reference envelope, and a restored-density two-seed variant
+    measured WORSE — eviction noise, see docs/ROADMAP.md). None in
+    best mode and in the test probe, whose outputs are therefore
+    unchanged. Validated against the reference's FindMatchLength
+    golden-vector table (SnappyCompressorTests.cs:10-96) via
+    match_extension_probe."""
     def ext_body(st):
-        m, _ = st
+        m, _, _ = st
         if seed is not None:
             seed(at + m)
-        return m + 4, key(at + m) == key(cand + m)
+        eq0 = key(at + m) == key(cand + m)
+        eq1 = key(at + m + 4) == key(cand + m + 4)
+        return m + 8, eq0 & eq1, eq0
 
     def ext_cond(st):
-        m, go = st
-        return go & (at + m + 4 <= n)
+        m, go, _ = st
+        return go & (at + m + 8 <= n)
 
-    m, go = jax.lax.while_loop(ext_cond, ext_body, (jnp.int32(4), True))
-    # A mismatch exit overshoots by the failing group; a bounds exit
-    # does not.
-    m = jnp.where(go, m, m - 4)
+    m, go, eq0l = jax.lax.while_loop(
+        ext_cond, ext_body, (jnp.int32(4), True, True)
+    )
+    # Mismatch exit: back up to the first failing group (the carried
+    # eq0 says which of the pair failed). Bounds exit: at most one
+    # stride-4 group remains before the tail.
+    m = jnp.where(go, m, m - 8 + jnp.where(eq0l, 4, 0))
+    can4 = go & (at + m + 4 <= n) & (key(at + m) == key(cand + m))
+    m = m + jnp.where(can4, 4, 0)
 
     x = key(at + m) ^ key(cand + m)
     t0 = jnp.where((x & 0xFF) == 0, 1, 0)
@@ -880,12 +902,13 @@ def _encode_kernel(keys_ref, hashes_ref, lens_ref, out_ref, outlen_ref,
         # FindMatchLength golden-vector suite can drive the exact
         # production logic through a probe kernel (test hook analog of
         # SnappyDecompressor.cs:686-718). The seed callback stores
-        # hash-table entries from the covered span (positions at+1+4k —
-        # stride 4 A/B-measured 17% faster than stride 2 for +0.8%
-        # size, still denser than the reference's 2 entries per match).
-        # Merging the seed into the extension while was measured at
-        # -166 us/block; a sloppy seed from the final mismatching
-        # iteration is safe because every probe verifies
+        # hash-table entries from the covered span (positions at+1+8k
+        # since the round-4 stride-8 walk — ~2.4 entries per average
+        # match, still denser than the reference's 2 per match; the
+        # r2 seed ladder measured stride 4 17% faster than stride 2
+        # for +0.8% size). Merging the seed into the extension while
+        # was measured at -166 us/block; a sloppy seed from the final
+        # mismatching iteration is safe because every probe verifies
         # key(cand) == cur before use.
         if exact_cands:
             seed = None  # no table to seed in best mode

@@ -856,6 +856,7 @@ def _encode_kernel_r4(keys_ref, hashes_ref, lens_ref, out_ref, outlen_ref,
     ext_mode = (
         "ext8" if variant in ("encext8", "encfull")
         else "ext8u" if variant in ("encext8u", "encwhen8", "encr4")
+        else "ext8s2" if variant == "encext8s2"
         else "ext16u" if variant == "encext16u"
         else "ext4"
     )
@@ -883,17 +884,24 @@ def _encode_kernel_r4(keys_ref, hashes_ref, lens_ref, out_ref, outlen_ref,
             # group remains.
             can4 = go & (at + m + 4 <= n) & (key(at + m) == key(cand + m))
             m = m + jnp.where(can4, 4, 0)
-        elif ext_mode == "ext8u":
+        elif ext_mode in ("ext8u", "ext8s2"):
             # UNCONDITIONAL m += 8 (the encext8 failure analysis: a
             # data-dependent advance chains next-m on this group's
             # compares, doubling per-iteration latency; here the
             # compares feed only the loop condition, exactly like the
             # production stride-4 walk, and the exit backs up from the
-            # carried eq bits).
+            # carried eq bits). ext8s2 seeds TWO table entries per
+            # backedge — the same per-4-byte seeding density as the
+            # stride-4 walk (stores are off the critical path).
+            two_seeds = ext_mode == "ext8s2"
+
             def ext_body(st):
                 m, _, _ = st
                 p = jnp.minimum(at + m - 3, n - 5)
                 table_smem[hash_smem[p]] = epoch | p
+                if two_seeds:
+                    p2 = jnp.minimum(at + m + 1, n - 5)
+                    table_smem[hash_smem[p2]] = epoch | p2
                 eq0 = key(at + m) == key(cand + m)
                 eq1 = key(at + m + 4) == key(cand + m + 4)
                 return m + 8, eq0 & eq1, eq0
@@ -1494,7 +1502,7 @@ def main():
             )
             continue
         if v in ("encext8", "encfull", "encext8u", "encext16u", "encwhen8",
-                 "encr4"):
+                 "encr4", "encext8s2"):
             # Stride-8 extension seeds the table differently, so the
             # output is a different VALID encoding: verify by decoding
             # and report the density delta instead of byte identity.
