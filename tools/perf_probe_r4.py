@@ -421,7 +421,8 @@ _SENT = 0x40000000  # bad-tag ip sentinel (> any n, traces as a literal)
 
 def _decode_kernel_pipe2(keys_ref, lut_ref, lm_ref, om_ref, lens_ref,
                          out_ref, outlen_ref, err_ref, key_smem, ow_smem,
-                         sem_in, sem_out, *, cc, out_cap, unroll, emit=True):
+                         sem_in, sem_out, *, cc, out_cap, unroll, emit=True,
+                         unc=False):
     b = pl.program_id(0)
     kc = key_smem.shape[0]
     owc = ow_smem.shape[0]
@@ -467,11 +468,7 @@ def _decode_kernel_pipe2(keys_ref, lut_ref, lm_ref, om_ref, lens_ref,
         s1 = spos + 4 - (op & 3)
         nw = ((op + K - 1) >> 2) - w0
 
-        @pl.when(nw > 0)
-        def _():
-            ow_smem[w0 + 1] = key_smem[s1]
-            ow_smem[w0 + 2] = key_smem[s1 + 4]
-
+        def tail_tiers():
             @pl.when(nw > 2)
             def _():
                 ow_smem[w0 + 3] = key_smem[s1 + 8]
@@ -489,6 +486,20 @@ def _decode_kernel_pipe2(keys_ref, lut_ref, lm_ref, om_ref, lens_ref,
                         return 0
 
                     jax.lax.fori_loop(0, (nw - 1) >> 2, cp, 0, unroll=False)
+
+        if unc:
+            # Unconditional first pair: over-stores past the frontier
+            # are garbage-until-overwritten (standing contract); kills
+            # the nw>0 branch on every literal.
+            ow_smem[w0 + 1] = key_smem[s1]
+            ow_smem[w0 + 2] = key_smem[s1 + 4]
+            tail_tiers()
+        else:
+            @pl.when(nw > 0)
+            def _():
+                ow_smem[w0 + 1] = key_smem[s1]
+                ow_smem[w0 + 2] = key_smem[s1 + 4]
+                tail_tiers()
 
     def append_stream(spos, op, K):
         rel = spos - op
@@ -509,8 +520,7 @@ def _decode_kernel_pipe2(keys_ref, lut_ref, lm_ref, om_ref, lens_ref,
         ow_smem[w0] = (ow_smem[w0] & lowmask) | (sv & ~lowmask)
         nw = ((op + K - 1) >> 2) - w0
 
-        @pl.when(nw > 0)
-        def _():
+        if unc:
             n2 = sw(base + 2)
             ow_smem[w0 + 1] = funnel(nxt, n2, a8, hs2)
             n3 = sw(base + 3)
@@ -537,7 +547,41 @@ def _decode_kernel_pipe2(keys_ref, lut_ref, lm_ref, om_ref, lens_ref,
                         ow_smem[w + 3] = funnel(m3, m4, a8, hs2)
                         return m4
 
-                    jax.lax.fori_loop(0, (nw - 1) >> 2, cp, n5, unroll=False)
+                    jax.lax.fori_loop(
+                        0, (nw - 1) >> 2, cp, n5, unroll=False
+                    )
+        else:
+            @pl.when(nw > 0)
+            def _():
+                n2 = sw(base + 2)
+                ow_smem[w0 + 1] = funnel(nxt, n2, a8, hs2)
+                n3 = sw(base + 3)
+                ow_smem[w0 + 2] = funnel(n2, n3, a8, hs2)
+
+                @pl.when(nw > 2)
+                def _():
+                    n4 = sw(base + 4)
+                    ow_smem[w0 + 3] = funnel(n3, n4, a8, hs2)
+                    n5 = sw(base + 5)
+                    ow_smem[w0 + 4] = funnel(n4, n5, a8, hs2)
+
+                    @pl.when(nw > 4)
+                    def _():
+                        def cp(k, carry):
+                            w = w0 + 5 + 4 * k
+                            m1 = sw(w + rw + 1)
+                            ow_smem[w] = funnel(carry, m1, a8, hs2)
+                            m2 = sw(w + rw + 2)
+                            ow_smem[w + 1] = funnel(m1, m2, a8, hs2)
+                            m3 = sw(w + rw + 3)
+                            ow_smem[w + 2] = funnel(m2, m3, a8, hs2)
+                            m4 = sw(w + rw + 4)
+                            ow_smem[w + 3] = funnel(m3, m4, a8, hs2)
+                            return m4
+
+                        jax.lax.fori_loop(
+                            0, (nw - 1) >> 2, cp, n5, unroll=False
+                        )
 
     def append_bytes(spos, op, K):
         def cpb(k, _):
@@ -628,9 +672,11 @@ def _decode_kernel_pipe2(keys_ref, lut_ref, lm_ref, om_ref, lens_ref,
     cp_out.wait()
 
 
-@functools.partial(jax.jit, static_argnames=("out_cap", "unroll", "emit"))
+@functools.partial(
+    jax.jit, static_argnames=("out_cap", "unroll", "emit", "unc")
+)
 def decode_pipe2(comp, comp_lens, out_cap: int = BLOCK_SIZE, unroll: int = 1,
-                 emit: bool = True):
+                 emit: bool = True, unc: bool = False):
     comp = comp.astype(jnp.int32)
     B, CC = comp.shape
     assert CC % 1024 == 0 and out_cap % 1024 == 0
@@ -638,7 +684,8 @@ def decode_pipe2(comp, comp_lens, out_cap: int = BLOCK_SIZE, unroll: int = 1,
     kc = CC + 1024
     owc = -(-(out_cap + 1024) // 4 // 1024) * 1024
     kern = functools.partial(
-        _decode_kernel_pipe2, cc=CC, out_cap=out_cap, unroll=unroll, emit=emit
+        _decode_kernel_pipe2, cc=CC, out_cap=out_cap, unroll=unroll,
+        emit=emit, unc=unc,
     )
     ow_flat, out_lens, errs = pl.pallas_call(
         kern,
@@ -1556,6 +1603,12 @@ def main():
             fn = lambda: decode_pipe2(bd, bl, out_cap=BLOCK_SIZE, unroll=3)
         elif v == "pipe2u4":
             fn = lambda: decode_pipe2(bd, bl, out_cap=BLOCK_SIZE, unroll=4)
+        elif v == "pipe2unc":
+            # Unconditional first store pair in both append paths:
+            # one pl.when branch fewer per tag.
+            fn = lambda: decode_pipe2(
+                bd, bl, out_cap=BLOCK_SIZE, unroll=2, unc=True
+            )
         elif v == "denoemit":
             # Walk with payload stores removed: the decode-side
             # walk/emission split for the round-4 budget table. Output
