@@ -247,7 +247,11 @@ def _decode_kernel(keys_ref, lut_ref, lm_ref, om_ref, lens_ref, out_ref,
         output word is ONE load: ow[w] = key(src byte for w's lane 0).
         Over-stores whole words past the frontier (bytes >= op + K are
         garbage until a later tag overwrites them — never read); key
-        overreads land in the image's >= 1 KiB top slack."""
+        overreads land in the image's >= 1 KiB top slack. The first
+        store pair is UNCONDITIONAL (round 4: the nw > 0 branch cost
+        ~2 ns/tag more than the two over-stores it saved; copies never
+        read above the frontier, so the garbage-tail contract already
+        licenses the stores)."""
         w0 = op >> 2
         da8 = (op & 3) * 8
         lowmask = (1 << da8) - 1
@@ -255,29 +259,27 @@ def _decode_kernel(keys_ref, lut_ref, lm_ref, om_ref, lens_ref, out_ref,
         s1 = spos + 4 - (op & 3)
         nw = ((op + K - 1) >> 2) - w0  # full/partial words after w0
 
-        @pl.when(nw > 0)
+        ow_smem[w0 + 1] = key_smem[s1]
+        ow_smem[w0 + 2] = key_smem[s1 + 4]
+
+        @pl.when(nw > 2)
         def _():
-            ow_smem[w0 + 1] = key_smem[s1]
-            ow_smem[w0 + 2] = key_smem[s1 + 4]
+            ow_smem[w0 + 3] = key_smem[s1 + 8]
+            ow_smem[w0 + 4] = key_smem[s1 + 12]
 
-            @pl.when(nw > 2)
+            @pl.when(nw > 4)
             def _():
-                ow_smem[w0 + 3] = key_smem[s1 + 8]
-                ow_smem[w0 + 4] = key_smem[s1 + 12]
+                def cp(k, _):
+                    w = w0 + 5 + 4 * k
+                    s = s1 + 16 + 16 * k
+                    ow_smem[w] = key_smem[s]
+                    ow_smem[w + 1] = key_smem[s + 4]
+                    ow_smem[w + 2] = key_smem[s + 8]
+                    ow_smem[w + 3] = key_smem[s + 12]
+                    return 0
 
-                @pl.when(nw > 4)
-                def _():
-                    def cp(k, _):
-                        w = w0 + 5 + 4 * k
-                        s = s1 + 16 + 16 * k
-                        ow_smem[w] = key_smem[s]
-                        ow_smem[w + 1] = key_smem[s + 4]
-                        ow_smem[w + 2] = key_smem[s + 8]
-                        ow_smem[w + 3] = key_smem[s + 12]
-                        return 0
-
-                    jax.lax.fori_loop(0, (nw - 1) >> 2, cp, 0,
-                                      unroll=False)
+                jax.lax.fori_loop(0, (nw - 1) >> 2, cp, 0,
+                                  unroll=False)
 
     def append_stream(spos, op, K):
         """Append K bytes read from the packed output image at byte
@@ -312,46 +314,46 @@ def _decode_kernel(keys_ref, lut_ref, lm_ref, om_ref, lens_ref, out_ref,
         ow_smem[w0] = (ow_smem[w0] & lowmask) | (sv & ~lowmask)
         nw = ((op + K - 1) >> 2) - w0  # full/partial words after w0
 
-        @pl.when(nw > 0)
+        # First pair UNCONDITIONAL (round 4, see append_lit): the
+        # source reads sit >= 2 words behind the frontier for every
+        # legal off >= 8 (base + 3 <= w0 + 1), so even a pure
+        # over-store reads only written or garbage-region words.
+        n2 = sw(base + 2)
+        ow_smem[w0 + 1] = funnel(nxt, n2, a8, hs2)
+        n3 = sw(base + 3)
+        ow_smem[w0 + 2] = funnel(n2, n3, a8, hs2)
+
+        @pl.when(nw > 2)
         def _():
-            # Unrolled pair covers nw <= 2 (the common case) branch-
-            # free; the second store may be pure over-store.
-            n2 = sw(base + 2)
-            ow_smem[w0 + 1] = funnel(nxt, n2, a8, hs2)
-            n3 = sw(base + 3)
-            ow_smem[w0 + 2] = funnel(n2, n3, a8, hs2)
+            # Second unrolled pair covers nw <= 4 (tags to ~17
+            # bytes) before falling into the fori: entering a
+            # data-dependent inner loop costs ~20 ns (cliff probe,
+            # docs/ROADMAP.md) so it is reserved for long copies.
+            n4 = sw(base + 4)
+            ow_smem[w0 + 3] = funnel(n3, n4, a8, hs2)
+            n5 = sw(base + 5)
+            ow_smem[w0 + 4] = funnel(n4, n5, a8, hs2)
 
-            @pl.when(nw > 2)
+            @pl.when(nw > 4)
             def _():
-                # Second unrolled pair covers nw <= 4 (tags to ~17
-                # bytes) before falling into the fori: entering a
-                # data-dependent inner loop costs ~20 ns (cliff probe,
-                # docs/ROADMAP.md) so it is reserved for long copies.
-                n4 = sw(base + 4)
-                ow_smem[w0 + 3] = funnel(n3, n4, a8, hs2)
-                n5 = sw(base + 5)
-                ow_smem[w0 + 4] = funnel(n4, n5, a8, hs2)
+                # 4 words per iteration: giant literals
+                # (incompressible blocks) run thousands of
+                # iterations, so the loop-share per byte matters
+                # more than the <= 3-word over-store.
+                def cp(k, carry):
+                    w = w0 + 5 + 4 * k
+                    m1 = sw(w + rw + 1)
+                    ow_smem[w] = funnel(carry, m1, a8, hs2)
+                    m2 = sw(w + rw + 2)
+                    ow_smem[w + 1] = funnel(m1, m2, a8, hs2)
+                    m3 = sw(w + rw + 3)
+                    ow_smem[w + 2] = funnel(m2, m3, a8, hs2)
+                    m4 = sw(w + rw + 4)
+                    ow_smem[w + 3] = funnel(m3, m4, a8, hs2)
+                    return m4
 
-                @pl.when(nw > 4)
-                def _():
-                    # 4 words per iteration: giant literals
-                    # (incompressible blocks) run thousands of
-                    # iterations, so the loop-share per byte matters
-                    # more than the <= 3-word over-store.
-                    def cp(k, carry):
-                        w = w0 + 5 + 4 * k
-                        m1 = sw(w + rw + 1)
-                        ow_smem[w] = funnel(carry, m1, a8, hs2)
-                        m2 = sw(w + rw + 2)
-                        ow_smem[w + 1] = funnel(m1, m2, a8, hs2)
-                        m3 = sw(w + rw + 3)
-                        ow_smem[w + 2] = funnel(m2, m3, a8, hs2)
-                        m4 = sw(w + rw + 4)
-                        ow_smem[w + 3] = funnel(m3, m4, a8, hs2)
-                        return m4
-
-                    jax.lax.fori_loop(0, (nw - 1) >> 2, cp, n5,
-                                      unroll=False)
+                jax.lax.fori_loop(0, (nw - 1) >> 2, cp, n5,
+                                  unroll=False)
 
     def append_bytes(spos, op, K):
         """Byte-serial append via read-modify-write (off < 8 prefix)."""

@@ -526,8 +526,7 @@ def _decode_kernel_pipe2(keys_ref, lut_ref, lm_ref, om_ref, lens_ref,
             n3 = sw(base + 3)
             ow_smem[w0 + 2] = funnel(n2, n3, a8, hs2)
 
-            @pl.when(nw > 2)
-            def _():
+            def pair2():
                 n4 = sw(base + 4)
                 ow_smem[w0 + 3] = funnel(n3, n4, a8, hs2)
                 n5 = sw(base + 5)
@@ -550,6 +549,17 @@ def _decode_kernel_pipe2(keys_ref, lut_ref, lm_ref, om_ref, lens_ref,
                     jax.lax.fori_loop(
                         0, (nw - 1) >> 2, cp, n5, unroll=False
                     )
+
+            if unc == 2:
+                # avg copy is ~15.5 B (nw ~ 4): run the second pair
+                # unconditionally too — reads reach <= 3 words past
+                # the frontier (garbage region, legal) and stores land
+                # in slack.
+                pair2()
+            else:
+                @pl.when(nw > 2)
+                def _():
+                    pair2()
         else:
             @pl.when(nw > 0)
             def _():
@@ -1607,7 +1617,12 @@ def main():
             # Unconditional first store pair in both append paths:
             # one pl.when branch fewer per tag.
             fn = lambda: decode_pipe2(
-                bd, bl, out_cap=BLOCK_SIZE, unroll=2, unc=True
+                bd, bl, out_cap=BLOCK_SIZE, unroll=2, unc=1
+            )
+        elif v == "pipe2unc2":
+            # ... and the stream path's second pair unconditional too.
+            fn = lambda: decode_pipe2(
+                bd, bl, out_cap=BLOCK_SIZE, unroll=2, unc=2
             )
         elif v == "denoemit":
             # Walk with payload stores removed: the decode-side
