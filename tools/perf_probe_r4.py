@@ -422,7 +422,7 @@ _SENT = 0x40000000  # bad-tag ip sentinel (> any n, traces as a literal)
 def _decode_kernel_pipe2(keys_ref, lut_ref, lm_ref, om_ref, lens_ref,
                          out_ref, outlen_ref, err_ref, key_smem, ow_smem,
                          sem_in, sem_out, *, cc, out_cap, unroll, emit=True,
-                         unc=False):
+                         unc=False, dma_pipe=False):
     b = pl.program_id(0)
     kc = key_smem.shape[0]
     owc = ow_smem.shape[0]
@@ -432,6 +432,14 @@ def _decode_kernel_pipe2(keys_ref, lut_ref, lm_ref, om_ref, lens_ref,
         keys_ref.at[pl.ds(b * kc, kc)], key_smem, sem_in
     )
     cp_in.start()
+    if dma_pipe:
+        # Program b-1's output copy drains while our input DMA flies;
+        # we only need ow_smem free before the walk's first store.
+        @pl.when(b > 0)
+        def _():
+            pltpu.make_async_copy(
+                ow_smem, out_ref.at[pl.ds((b - 1) * owc, owc)], sem_out
+            ).wait()
     cp_in.wait()
 
     def rd(i):
@@ -679,14 +687,20 @@ def _decode_kernel_pipe2(keys_ref, lut_ref, lm_ref, om_ref, lens_ref,
         ow_smem, out_ref.at[pl.ds(b * owc, owc)], sem_out
     )
     cp_out.start()
-    cp_out.wait()
+    if dma_pipe:
+        @pl.when(b == pl.num_programs(0) - 1)
+        def _():
+            cp_out.wait()
+    else:
+        cp_out.wait()
 
 
 @functools.partial(
-    jax.jit, static_argnames=("out_cap", "unroll", "emit", "unc")
+    jax.jit, static_argnames=("out_cap", "unroll", "emit", "unc", "dma_pipe")
 )
 def decode_pipe2(comp, comp_lens, out_cap: int = BLOCK_SIZE, unroll: int = 1,
-                 emit: bool = True, unc: bool = False):
+                 emit: bool = True, unc: bool = False,
+                 dma_pipe: bool = False):
     comp = comp.astype(jnp.int32)
     B, CC = comp.shape
     assert CC % 1024 == 0 and out_cap % 1024 == 0
@@ -695,7 +709,7 @@ def decode_pipe2(comp, comp_lens, out_cap: int = BLOCK_SIZE, unroll: int = 1,
     owc = -(-(out_cap + 1024) // 4 // 1024) * 1024
     kern = functools.partial(
         _decode_kernel_pipe2, cc=CC, out_cap=out_cap, unroll=unroll,
-        emit=emit, unc=unc,
+        emit=emit, unc=unc, dma_pipe=dma_pipe,
     )
     ow_flat, out_lens, errs = pl.pallas_call(
         kern,
@@ -1623,6 +1637,12 @@ def main():
             # ... and the stream path's second pair unconditional too.
             fn = lambda: decode_pipe2(
                 bd, bl, out_cap=BLOCK_SIZE, unroll=2, unc=2
+            )
+        elif v == "pipe2dma":
+            # Deferred output-DMA wait: program b-1's out-copy drains
+            # under program b's input DMA + walk.
+            fn = lambda: decode_pipe2(
+                bd, bl, out_cap=BLOCK_SIZE, unroll=2, unc=1, dma_pipe=True
             )
         elif v == "denoemit":
             # Walk with payload stores removed: the decode-side
