@@ -105,10 +105,13 @@ def _tag_luts():
       lm: mask over the 4 bytes after the tag contributing to length
           (long literals; 0 elsewhere) — length = (rest & lm) + Lbase.
           The 4-extra-byte literal's mask is the FULL word: the walk's
-          unsigned length-vs-remaining compare rejects any value a
-          nonzero 4th byte can produce (>= 2^24 as unsigned, larger
-          than every SMEM-legal out_cap), replacing the round-3
-          explicit poison (-4 ops/tag).
+          unsigned (length - 1) >= remaining compare rejects any value
+          a nonzero 4th byte can produce — >= 2^24 as unsigned (larger
+          than every SMEM-legal out_cap), negative after the int32
+          wrap, or the 0xFFFFFFFF field whose rest + 1 wraps to
+          length 0 (the -1 bias maps it to unsigned max; every legal
+          tag has length >= 1). Replaces the round-3 explicit poison
+          (-4 ops/tag).
       om: mask over those bytes contributing to offset (copies) —
           offset = (rest & om) | offhi. Copy-4's mask is the FULL word:
           a nonzero 4th offset byte makes `off` either negative
@@ -403,17 +406,21 @@ def _decode_kernel(keys_ref, lut_ref, lm_ref, om_ref, lens_ref, out_ref,
         # loads; validity is re-established below.
         d2, lm2, om2, rest2 = load_tag(jnp.clip(ip2, 0, guard))
 
-        # Bounds. The unsigned compare length >u (expected - op) folds
-        # three checks into one: length > remaining output, length
-        # negative (wraps to huge), and the 4-extra-byte literal with a
+        # Bounds. The unsigned compare (length - 1) >=u (expected - op)
+        # folds four checks into one: length > remaining output, length
+        # negative (wraps to huge), the 4-extra-byte literal with a
         # nonzero 4th byte (>= 2^24 unsigned, > any SMEM-legal out_cap
-        # — see _tag_luts). expected - op >= 0 is a loop invariant, so
-        # the unsigned view of the remainder is exact. This must come
-        # before trusting ip2: a literal length near 2^31 can wrap
-        # ip + advance negative, sliding past `ip2 > n` — the length
-        # check rejects those first.
+        # — see _tag_luts), and the length-field-0xFFFFFFFF literal
+        # whose `rest + 1` wraps int32 to length 0 (length - 1 is then
+        # 0xFFFFFFFF unsigned; every legal tag has length >= 1, so the
+        # -1 bias rejects exactly the wrap). expected - op >= 0 is a
+        # loop invariant, so the unsigned view of the remainder is
+        # exact. This must come before trusting ip2: a literal length
+        # near 2^31 can wrap ip + advance negative, sliding past
+        # `ip2 > n` — the length check rejects those first.
         bad = (ip2 > n) | (
-            length.astype(jnp.uint32) > (expected - op).astype(jnp.uint32)
+            (length - 1).astype(jnp.uint32)
+            >= (expected - op).astype(jnp.uint32)
         )
         bad = bad | (~is_lit & ((off <= 0) | (off > op)))
         ok = (~bad) & (ip < n)
@@ -535,6 +542,7 @@ def decode_blocks_scalar(
     comp = comp.astype(jnp.int32)
     B, CC = comp.shape
     assert CC % 1024 == 0 and out_cap % 1024 == 0  # 1-D DMA tiling
+    assert unroll >= 1  # unroll=0 would make the walk body the identity
     # Key image of the compressed bytes: one int32 per byte holding the
     # unaligned 32-bit LE window at that byte (XLA elementwise pass).
     # 4x the DMA of the round-2 packed-word image (~1% of block time)

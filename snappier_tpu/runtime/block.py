@@ -363,10 +363,7 @@ def _check_overlap(data, out) -> None:
 
 
 def _write_out(out, blob: bytes) -> None:
-    if isinstance(out, np.ndarray):
-        out[: len(blob)] = np.frombuffer(blob, np.uint8)
-    else:
-        out[: len(blob)] = blob
+    _write_at(out, 0, blob)
 
 
 def _write_at(out, pos: int, blob) -> None:

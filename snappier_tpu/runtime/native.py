@@ -170,15 +170,28 @@ def compress_into(data: bytes, out) -> int:
     is large enough; otherwise a pooled staging buffer is used and only
     the actual compressed bytes are copied — never a full-output
     ``bytes`` intermediate). Returns bytes written; raises
-    BufferTooSmallError when the result does not fit."""
+    BufferTooSmallError when the result does not fit.
+
+    The zero-copy path requires a destination whose raw memory IS its
+    element sequence (uint8 ndarray, bytearray, contiguous memoryview).
+    Any other ndarray (wider dtype, non-contiguous) takes the staging
+    path with a one-byte-per-ELEMENT assignment so the result layout
+    matches the device/oracle engines' writes (engine parity — a
+    round-4 review finding: frombuffer on an int32 destination used to
+    pack 4 bytes per element)."""
     lib = load()
     if lib is None:
         raise RuntimeError("native runtime unavailable")
     data = bytes(data)
     cap = lib.stpu_max_compressed_length(len(data))
-    view = np.frombuffer(memoryview(out), np.uint8)
+    view = None
+    if not (isinstance(out, np.ndarray) and out.dtype != np.uint8):
+        try:
+            view = np.frombuffer(memoryview(out), np.uint8)
+        except (ValueError, BufferError, TypeError):
+            view = None  # non-contiguous / exotic buffer: stage below
     out_len = ctypes.c_size_t()
-    if view.size >= cap:
+    if view is not None and view.size >= cap:
         rc = lib.stpu_compress(
             data,
             len(data),
@@ -202,12 +215,19 @@ def compress_into(data: bytes, out) -> int:
         )
         if rc != _OK:
             raise InvalidDataError(f"native compress failed rc={rc}")
-        if out_len.value > view.size:
+        n = out_len.value
+        cap_avail = view.size if view is not None else len(out)
+        if n > cap_avail:
             raise BufferTooSmallError(
-                f"need {out_len.value} bytes, destination holds {view.size}"
+                f"need {n} bytes, destination holds {cap_avail}"
             )
-        view[: out_len.value] = stage[: out_len.value]
-        return out_len.value
+        if view is not None:
+            view[:n] = stage[:n]
+        elif isinstance(out, np.ndarray):
+            out[:n] = stage[:n]  # per-element, cast to out's dtype
+        else:
+            out[:n] = stage[:n].tobytes()
+        return n
     finally:
         default_pool.giveback(stage)
 

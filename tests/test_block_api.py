@@ -279,3 +279,29 @@ def test_compress_into_zero_copy_per_engine(engine):
         st.compress_into(data, bytearray(len(comp) - 1), engine=engine)
     ok, _ = st.try_compress(data, bytearray(len(comp) - 1), engine=engine)
     assert not ok
+
+
+def test_compress_into_wide_dtype_engine_parity():
+    """A non-uint8 ndarray destination must receive ONE byte per
+    ELEMENT from every engine (round-4 review finding: the native
+    engine's zero-copy frombuffer path used to pack 4 compressed bytes
+    per int32 element, diverging from the device/oracle writes and
+    from the element-counted capacity checks)."""
+    data = b"engine parity check " * 200
+    rows = {}
+    for eng in ("native", "oracle", "tpu"):
+        buf = np.zeros(10000, np.int32)
+        try:
+            n = st.compress_into(data, buf, engine=eng)
+        except RuntimeError:
+            continue  # native unavailable in the no-native CI leg
+        rows[eng] = bytes(buf[:n].astype(np.uint8))
+        # each engine's into-write must equal its own compress() bytes
+        assert rows[eng] == st.compress(data, engine=eng)
+    assert len(rows) >= 2
+
+    # Non-contiguous-safe buffers still work on the native fast path.
+    if "native" in rows:
+        mv = memoryview(bytearray(30000))
+        n = st.compress_into(data, mv, engine="native")
+        assert bytes(mv[:n]) == rows["native"]

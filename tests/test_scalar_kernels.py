@@ -245,23 +245,35 @@ def test_core_parallel_grid_semantics():
 
 def test_scalar_decode_int32_wrap_literal_attack():
     """Adversarial 4-extra-byte literal whose length field is crafted
-    so ``op + length`` (and ``ip + advance``) wrap int32 — a naive
-    signed bounds check slides past both terms and the payload loop
-    would write ~2^29 words out of SMEM bounds. The round-4 walk's
-    unsigned length-vs-remaining compare must reject every such value
-    (the probe variant this walk was landed from missed the wrap case;
-    regression-pinned here)."""
+    so ``op + length``, ``ip + advance``, or the ``rest + 1`` length
+    reconstruction wraps int32 — a naive signed bounds check slides
+    past those terms: the 0x7FFFFFFF field makes the payload loop
+    write ~2^29 words out of SMEM bounds, and the 0xFFFFFFFF field
+    wraps the length to 0 and decodes "cleanly" as a 5-byte no-op (a
+    stream every other engine rejects — shipped bug caught by the
+    round-4 review). The walk's unsigned (length - 1) >= remaining
+    compare must reject every such value WITH the walk's own error
+    code: the preamble here claims 64 bytes (well under out_cap), so
+    a BAD_PREAMBLE rejection would mean the vectors never reached the
+    tag walk (this test's first version was vacuous exactly that way,
+    claiming 65536 > out_cap)."""
+    from snappier_tpu.ops.pallas.scalar_codec import _ERR_MALFORMED
+
     wraps = [
         bytes([0xFE, 0xFF, 0xFF, 0x7F]),  # length = 0x7FFFFFFF
-        bytes([0xFF, 0xFF, 0xFF, 0x7F]),  # length = -0x80000000 (wraps)
-        bytes([0xFF, 0xFF, 0xFF, 0xFF]),  # length = 0 after wrap + poison bits
+        bytes([0xFF, 0xFF, 0xFF, 0x7F]),  # length wraps to -0x80000000
+        bytes([0xFF, 0xFF, 0xFF, 0xFF]),  # length wraps to 0 (the bug)
         bytes([0x00, 0x00, 0x00, 0x80]),  # negative length field
         bytes([0x00, 0x00, 0x80, 0x00]),  # 8 MiB claim, no wrap
     ]
-    bad = [bytes([0x80, 0x80, 0x04]) + bytes([0xFC]) + w + b"x" * 64
-           for w in wraps]
+    bad = [bytes([64]) + bytes([0xFC]) + w + b"x" * 64 for w in wraps]
     _, _, errs = _dec(bad)
-    assert (errs != 0).all(), errs
+    assert (errs == _ERR_MALFORMED).all(), errs
+    # Control: the same shape with a small, legal length field decodes.
+    ok = bytes([64]) + bytes([0xFC, 63, 0, 0, 0]) + b"y" * 64
+    out, olens, errs = _dec([ok])
+    assert errs[0] == 0 and olens[0] == 64
+    assert bytes(out[0, :64].astype(np.uint8)) == b"y" * 64
 
 
 def test_scalar_decode_unroll_variants_agree():
