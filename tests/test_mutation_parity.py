@@ -1,0 +1,148 @@
+"""Corruption-mutation fuzz: engine PARITY on accept/reject verdicts.
+
+The corpus fuzz campaigns exercise VALID streams (differential decode)
+and `baddata*` covers three historical corruptions — but nothing
+systematically checked that the engines agree on which MUTATED streams
+are invalid. That gap shipped a real bug in round 4: the Pallas walk's
+trimmed validation accepted a 4-extra-byte literal with length field
+0xFFFFFFFF (the int32 `rest + 1` wrap) that every other engine
+rejects. This suite pins the property: for seeded random mutations of
+valid streams (byte flips, truncations, extensions), the scalar Pallas
+kernel, the oracle, and the native engine must return the SAME verdict
+— and identical bytes whenever they accept.
+
+Verdict comparison is skipped only where the engines' contracts
+legitimately differ: a mutated varint claiming more than the device
+out_cap is rejected by the kernel as a capacity violation regardless
+of stream coherence, so those mutants assert kernel-rejects and skip
+the cross-check (reference analog: output-buffer sizing is the
+caller's, SnappyDecompressor.cs:509-535).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from snappier_tpu.format import oracle
+from snappier_tpu.format.varint import read_varint
+from snappier_tpu.errors import InvalidDataError, SnappyError
+
+OUT_CAP = 8192  # device capacity for this suite (multiple of 1024)
+CC = 6144      # compressed slot (covers every mutant below)
+
+
+def _base_streams():
+    """Valid compressed streams with diverse tag mixes."""
+    from tests.conftest import load_corpus_file
+
+    rng = np.random.default_rng(404)
+    datas = [
+        load_corpus_file("html")[:4000],
+        load_corpus_file("urls.10K")[:3000],
+        b"a" * 3000,                                  # offset-1 runs
+        bytes(range(1, 6)) * 500,                     # offset-5 pattern
+        rng.integers(0, 256, 2500, np.uint8).tobytes(),  # incompressible
+        (b"abcdefgh" * 200 + bytes(500) + b"xyz" * 300),
+        b"x",
+        b"",
+    ]
+    return [bytes(oracle.compress(np.frombuffer(d, np.uint8)))
+            for d in datas]
+
+
+def _mutants(streams, n_per=100):
+    rng = np.random.default_rng(405)
+    out = []
+    for s in streams:
+        arr = np.frombuffer(s, np.uint8).copy()
+        for _ in range(n_per):
+            kind = rng.integers(0, 10)
+            m = arr.copy()
+            if len(m) and kind < 6:  # byte flips (1-3 positions)
+                for _ in range(int(rng.integers(1, 4))):
+                    i = int(rng.integers(0, len(m)))
+                    m[i] ^= int(rng.integers(1, 256))
+                mb = m.tobytes()
+            elif len(m) and kind < 8:  # truncation
+                mb = m.tobytes()[: int(rng.integers(0, len(m)))]
+            else:  # extension with random tail
+                tail = rng.integers(0, 256,
+                                    int(rng.integers(1, 40)),
+                                    np.uint8).tobytes()
+                mb = m.tobytes() + tail
+            if len(mb) <= CC:
+                out.append(mb)
+    return out
+
+
+def _oracle_verdict(mb):
+    try:
+        return True, bytes(oracle.decompress(np.frombuffer(mb, np.uint8)))
+    except (SnappyError, InvalidDataError):
+        return False, b""
+
+
+@pytest.mark.slow
+def test_mutation_verdict_parity_scalar_vs_oracle():
+    import jax.numpy as jnp
+
+    from snappier_tpu.ops.pallas.scalar_codec import decode_blocks_scalar
+
+    streams = _base_streams()
+    mutants = _mutants(streams)
+    assert len(mutants) >= 700
+
+    comp = np.zeros((len(mutants), CC), np.int32)
+    lens = np.zeros(len(mutants), np.int32)
+    for i, mb in enumerate(mutants):
+        comp[i, : len(mb)] = np.frombuffer(mb, np.uint8)
+        lens[i] = len(mb)
+    out, olens, errs = decode_blocks_scalar(
+        jnp.asarray(comp), jnp.asarray(lens), out_cap=OUT_CAP,
+        interpret=True,
+    )
+    out_h = np.asarray(out, np.uint8)
+    olens_h, errs_h = np.asarray(olens), np.asarray(errs)
+
+    from snappier_tpu.runtime import native
+
+    have_native = native.available()
+    checked = accepted = capped = 0
+    for i, mb in enumerate(mutants):
+        # Capacity-contract divergence: claims past out_cap are the
+        # kernel's caller-sizing rejection, not a stream verdict.
+        try:
+            claim, _ = read_varint(np.frombuffer(mb, np.uint8))
+        except (SnappyError, InvalidDataError, Exception):
+            claim = None
+        if claim is not None and claim > OUT_CAP:
+            assert errs_h[i] != 0, i
+            capped += 1
+            continue
+        ok, body = _oracle_verdict(mb)
+        checked += 1
+        if ok:
+            accepted += 1
+            assert errs_h[i] == 0, (
+                f"mutant {i}: oracle accepts, kernel err={errs_h[i]}"
+            )
+            assert olens_h[i] == len(body), i
+            assert out_h[i, : len(body)].tobytes() == body, i
+        else:
+            assert errs_h[i] != 0, (
+                f"mutant {i}: oracle rejects, kernel accepted "
+                f"{olens_h[i]} bytes — validation divergence"
+            )
+        if have_native:
+            try:
+                nb = native.decompress(mb)
+                nok = True
+            except (SnappyError, InvalidDataError):
+                nok = False
+                nb = b""
+            assert nok == ok, f"mutant {i}: native/oracle verdicts differ"
+            if nok:
+                assert nb == body, i
+    # The campaign must actually exercise both verdict classes.
+    assert checked >= 500 and accepted >= 20, (checked, accepted, capped)
