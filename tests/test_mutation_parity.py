@@ -64,8 +64,25 @@ def _mutants(streams, n_per=100):
                     i = int(rng.integers(0, len(m)))
                     m[i] ^= int(rng.integers(1, 256))
                 mb = m.tobytes()
-            elif len(m) and kind < 8:  # truncation
+            elif len(m) and kind < 7:  # truncation
                 mb = m.tobytes()[: int(rng.integers(0, len(m)))]
+            elif len(m) > 6 and kind < 8:
+                # Targeted wide-literal injection: the long-literal tag
+                # family (extra-length bytes, incl. the 4-extra 0xFC
+                # form whose int32 `rest + 1` wrap shipped a round-4
+                # validation bug) with adversarial length fields —
+                # random flips rarely synthesize these.
+                i = int(rng.integers(1, len(m) - 5))
+                m[i] = int(rng.choice([0xF0, 0xF4, 0xF8, 0xFC]))
+                field = rng.choice([
+                    [0xFF, 0xFF, 0xFF, 0xFF],   # rest + 1 wraps to 0
+                    [0xFE, 0xFF, 0xFF, 0x7F],   # ~int32 max
+                    [0xFF, 0xFF, 0xFF, 0x7F],   # wraps negative
+                    [0x00, 0x00, 0x80, 0x00],   # 8 MiB claim
+                    list(rng.integers(0, 256, 4)),
+                ])
+                m[i + 1 : i + 5] = np.asarray(field, np.uint8)
+                mb = m.tobytes()
             else:  # extension with random tail
                 tail = rng.integers(0, 256,
                                     int(rng.integers(1, 40)),
@@ -73,6 +90,27 @@ def _mutants(streams, n_per=100):
                 mb = m.tobytes() + tail
             if len(mb) <= CC:
                 out.append(mb)
+        # Coherent wide-literal INSERTION: a 5-byte long-literal group
+        # spliced in right after the varint, leaving the original tag
+        # stream intact behind it. If a bogus length field ever parses
+        # as a no-op or a wrong small length (the round-4 int32-wrap
+        # bug's signature), the rest of the stream still decodes
+        # cleanly and the engines' verdicts DIVERGE — random in-place
+        # flips can't produce this shape because they break coherence
+        # downstream, masking the divergence as agreed rejection.
+        if len(s) > 1:
+            try:
+                _, tag0 = read_varint(np.frombuffer(s, np.uint8))
+            except Exception:
+                tag0 = 1
+            for field in ([0xFF, 0xFF, 0xFF, 0xFF],
+                          [0xFE, 0xFF, 0xFF, 0x7F],
+                          [0xFF, 0xFF, 0xFF, 0x7F],
+                          [0x00, 0x00, 0x80, 0x00],
+                          [0x3B, 0x00, 0x00, 0x00]):
+                mb = (s[:tag0] + bytes([0xFC] + field) + s[tag0:])
+                if len(mb) <= CC:
+                    out.append(mb)
     return out
 
 
