@@ -184,3 +184,50 @@ def test_mutation_verdict_parity_scalar_vs_oracle():
                 assert nb == body, i
     # The campaign must actually exercise both verdict classes.
     assert checked >= 500 and accepted >= 20, (checked, accepted, capped)
+
+
+@pytest.mark.slow
+def test_mutation_verdict_parity_scan_vs_oracle():
+    """The same mutant corpus against the portable XLA parallel-scan
+    decoder (ops/decode.py) — an independent validation implementation
+    that can diverge independently of the Pallas walk."""
+    import jax
+    import jax.numpy as jnp
+
+    from snappier_tpu.ops.decode import decode_block
+
+    mutants = _mutants(_base_streams())
+    comp = np.zeros((len(mutants), CC), np.int32)
+    lens = np.zeros(len(mutants), np.int32)
+    for i, mb in enumerate(mutants):
+        comp[i, : len(mb)] = np.frombuffer(mb, np.uint8)
+        lens[i] = len(mb)
+    out, olens, errs = jax.vmap(
+        lambda c, l: decode_block(c, l, OUT_CAP)
+    )(jnp.asarray(comp), jnp.asarray(lens))
+    out_h = np.asarray(out, np.uint8)
+    olens_h, errs_h = np.asarray(olens), np.asarray(errs)
+
+    checked = accepted = 0
+    for i, mb in enumerate(mutants):
+        try:
+            claim, _ = read_varint(np.frombuffer(mb, np.uint8))
+        except Exception:
+            claim = None
+        if claim is not None and claim > OUT_CAP:
+            assert errs_h[i] != 0, i
+            continue
+        ok, body = _oracle_verdict(mb)
+        checked += 1
+        if ok:
+            accepted += 1
+            assert errs_h[i] == 0, (
+                f"mutant {i}: oracle accepts, scan err={errs_h[i]}"
+            )
+            assert olens_h[i] == len(body), i
+            assert out_h[i, : len(body)].tobytes() == body, i
+        else:
+            assert errs_h[i] != 0, (
+                f"mutant {i}: oracle rejects, scan accepted"
+            )
+    assert checked >= 500 and accepted >= 20, (checked, accepted)

@@ -159,3 +159,48 @@ def test_tag_sweep_verdict_parity():
     # Every tag class must contribute some accepted streams: copy1,
     # copy2, copy4, short literals, and each long-literal width.
     assert accepted >= 300, accepted
+
+
+@pytest.mark.slow
+def test_tag_sweep_verdict_parity_scan_engine():
+    """The same sweep against the OTHER device decoder family (the
+    portable XLA parallel-scan engine, ops/decode.py) — its validation
+    is an independent implementation and can diverge independently."""
+    import jax
+    import jax.numpy as jnp
+
+    from snappier_tpu.ops.decode import decode_block
+
+    streams = _streams()
+    comp = np.zeros((len(streams), CC), np.int32)
+    lens = np.zeros(len(streams), np.int32)
+    for i, s in enumerate(streams):
+        comp[i, : len(s)] = np.frombuffer(s, np.uint8)
+        lens[i] = len(s)
+    out, olens, errs = jax.vmap(
+        lambda c, l: decode_block(c, l, OUT_CAP)
+    )(jnp.asarray(comp), jnp.asarray(lens))
+    out_h = np.asarray(out, np.uint8)
+    olens_h, errs_h = np.asarray(olens), np.asarray(errs)
+
+    accepted = 0
+    for i, s in enumerate(streams):
+        try:
+            body = bytes(oracle.decompress(np.frombuffer(s, np.uint8)))
+            ok = True
+        except (SnappyError, InvalidDataError):
+            ok = False
+            body = b""
+        if ok:
+            accepted += 1
+            assert errs_h[i] == 0, (
+                f"stream {i}: oracle accepts, scan err={errs_h[i]}"
+            )
+            assert olens_h[i] == len(body), i
+            assert out_h[i, : len(body)].tobytes() == body, i
+        else:
+            assert errs_h[i] != 0, (
+                f"stream {i}: oracle rejects, scan accepted"
+                f" {olens_h[i]} bytes"
+            )
+    assert accepted >= 300, accepted
