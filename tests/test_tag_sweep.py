@@ -136,6 +136,9 @@ def test_tag_sweep_verdict_parity():
     out_h = np.asarray(out, np.uint8)
     olens_h, errs_h = np.asarray(olens), np.asarray(errs)
 
+    from snappier_tpu.runtime import native
+
+    have_native = native.available()
     accepted = 0
     for i, s in enumerate(streams):
         try:
@@ -156,6 +159,18 @@ def test_tag_sweep_verdict_parity():
                 f"stream {i}: oracle rejects, kernel accepted"
                 f" {olens_h[i]} bytes"
             )
+        if have_native:
+            try:
+                nb = native.decompress(s)
+                nok = True
+            except (SnappyError, InvalidDataError):
+                nok = False
+                nb = b""
+            assert nok == ok, (
+                f"stream {i}: native/oracle verdicts differ"
+            )
+            if nok:
+                assert nb == body, i
     # Every tag class must contribute some accepted streams: copy1,
     # copy2, copy4, short literals, and each long-literal width.
     assert accepted >= 300, accepted
