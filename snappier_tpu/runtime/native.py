@@ -30,6 +30,34 @@ _OK, _INVALID, _TOO_SMALL = 0, 1, 2
 
 
 def _build() -> bool:
+    # Cross-PROCESS exclusion around make: the .so is shared and a
+    # non-atomic relink while a sibling process dlopens it yields a
+    # half-written library (review finding — parallel pytest legs and
+    # the scaling tool's subprocess fan-out start concurrently). The
+    # in-process _lock cannot cover this; an O_EXCL-created lockfile
+    # with a stale-timeout does.
+    import os
+    import time
+
+    lockfile = _NATIVE_DIR / ".build.lock"
+    deadline = time.monotonic() + 150
+    acquired = False
+    while time.monotonic() < deadline:
+        try:
+            fd = os.open(lockfile, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            acquired = True
+            break
+        except FileExistsError:
+            try:
+                if time.time() - lockfile.stat().st_mtime > 180:
+                    lockfile.unlink(missing_ok=True)  # stale holder
+                    continue
+            except OSError:
+                pass
+            time.sleep(0.1)
+    if not acquired:
+        return _SO.exists()  # let an existing build stand
     try:
         subprocess.run(
             ["make", "-s", "libsnappy_core.so"],
@@ -41,6 +69,8 @@ def _build() -> bool:
         return True
     except Exception:
         return False
+    finally:
+        lockfile.unlink(missing_ok=True)
 
 
 def load():
@@ -172,22 +202,35 @@ def compress_into(data: bytes, out) -> int:
     ``bytes`` intermediate). Returns bytes written; raises
     BufferTooSmallError when the result does not fit.
 
-    The zero-copy path requires a destination whose raw memory IS its
-    element sequence (uint8 ndarray, bytearray, contiguous memoryview).
-    Any other ndarray (wider dtype, non-contiguous) takes the staging
-    path with a one-byte-per-ELEMENT assignment so the result layout
-    matches the device/oracle engines' writes (engine parity — a
-    round-4 review finding: frombuffer on an int32 destination used to
-    pack 4 bytes per element)."""
+    The zero-copy path requires a WRITABLE destination whose raw
+    memory IS its element sequence (uint8 ndarray, bytearray,
+    contiguous byte-sized memoryview). Read-only destinations raise
+    TypeError up front (round-4 review finding: frombuffer happily
+    wraps immutable buffers and the C engine would write through
+    them). Any other element shape (wider-dtype ndarray OR
+    memoryview, non-contiguous) takes the staging path with a
+    one-byte-per-ELEMENT assignment so the result layout matches the
+    device/oracle engines' writes (engine parity — same review:
+    frombuffer on an int32 destination used to pack 4 bytes per
+    element)."""
     lib = load()
     if lib is None:
         raise RuntimeError("native runtime unavailable")
     data = bytes(data)
     cap = lib.stpu_max_compressed_length(len(data))
     view = None
-    if not (isinstance(out, np.ndarray) and out.dtype != np.uint8):
+    try:
+        mv = memoryview(out)
+    except TypeError:
+        mv = None
+    if mv is not None and mv.readonly:
+        raise TypeError("destination buffer is read-only")
+    if mv is not None and mv.itemsize == 1 and not (
+        isinstance(out, np.ndarray) and out.dtype != np.uint8
+    ):
         try:
-            view = np.frombuffer(memoryview(out), np.uint8)
+            # frombuffer inherits writability from mv (checked above).
+            view = np.frombuffer(mv, np.uint8)
         except (ValueError, BufferError, TypeError):
             view = None  # non-contiguous / exotic buffer: stage below
     out_len = ctypes.c_size_t()
@@ -204,7 +247,11 @@ def compress_into(data: bytes, out) -> int:
         return out_len.value
     from snappier_tpu.utils.pool import default_pool
 
-    stage = default_pool.rent(cap, np.uint8)
+    # Round the stage size to a power-of-two bucket: BufferPool bounds
+    # buffers per bucket but not bucket count, so exact per-input caps
+    # would grow one bucket per distinct input size (review finding).
+    stage_n = 1 << max(10, (max(cap, 1) - 1).bit_length())
+    stage = default_pool.rent(stage_n, np.uint8)
     try:
         rc = lib.stpu_compress(
             data,
@@ -226,7 +273,14 @@ def compress_into(data: bytes, out) -> int:
         elif isinstance(out, np.ndarray):
             out[:n] = stage[:n]  # per-element, cast to out's dtype
         else:
-            out[:n] = stage[:n].tobytes()
+            # Element-shaped buffers (e.g. a memoryview over an int32
+            # array): write through an ndarray view when the buffer
+            # protocol gives one (owndata False), else raw bytes.
+            a = np.asarray(out)
+            if not a.flags.owndata:
+                a[:n] = stage[:n]
+            else:
+                out[:n] = stage[:n].tobytes()
         return n
     finally:
         default_pool.giveback(stage)

@@ -305,3 +305,43 @@ def test_compress_into_wide_dtype_engine_parity():
         mv = memoryview(bytearray(30000))
         n = st.compress_into(data, mv, engine="native")
         assert bytes(mv[:n]) == rows["native"]
+
+
+def test_compress_into_rejects_readonly_destination():
+    """An immutable destination must raise, never be written through
+    (round-4 review finding: np.frombuffer wraps read-only buffers and
+    the native C engine would write into e.g. an interned bytes
+    object)."""
+    data = b"readonly guard " * 100
+    for eng in ("native", "oracle", "tpu"):
+        for dest in (bytes(20000), memoryview(bytes(20000))):
+            try:
+                with pytest.raises(TypeError):
+                    st.compress_into(data, dest, engine=eng)
+            except RuntimeError:
+                break  # native unavailable in the no-native leg
+    ro = np.zeros(20000, np.uint8)
+    ro.flags.writeable = False
+    for eng in ("native", "oracle", "tpu"):
+        try:
+            with pytest.raises((TypeError, ValueError)):
+                st.compress_into(data, ro, engine=eng)
+        except RuntimeError:
+            pass
+
+
+def test_compress_into_int32_memoryview_engine_parity():
+    """A memoryview over a wide-dtype array is element-shaped like the
+    array: one byte per element, same as passing the array itself
+    (review finding: the native zero-copy path keyed off isinstance
+    ndarray and packed 4 bytes/element for the memoryview form)."""
+    from snappier_tpu.runtime import native
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    data = b"mv parity " * 150
+    arr = np.zeros(10000, np.int32)
+    n = st.compress_into(data, memoryview(arr), engine="native")
+    assert bytes(arr[:n].astype(np.uint8)) == st.compress(
+        data, engine="native"
+    )
