@@ -926,7 +926,8 @@ def _encode_kernel_r4(keys_ref, hashes_ref, lens_ref, out_ref, outlen_ref,
     margin = 15
     ext_mode = (
         "ext8" if variant in ("encext8", "encfull")
-        else "ext8u" if variant in ("encext8u", "encwhen8", "encr4")
+        else "ext8u" if variant in ("encext8u", "encwhen8", "encr4",
+                                    "encoct8")
         else "ext8s2" if variant == "encext8s2"
         else "ext16u" if variant == "encext16u"
         else "ext4"
@@ -1286,7 +1287,67 @@ def _encode_kernel_r4(keys_ref, hashes_ref, lens_ref, out_ref, outlen_ref,
                 lambda: (ip + 3 + (skip >> 5), lit_start, op, skip + 1),
             )
 
-    if variant not in ("enc2loop", "encpre"):
+    if variant in ("encoct", "encoct8"):
+        # Two quad-groups per backedge (8 positions probed, advance
+        # 6 + 2*(skip>>5) on full miss): halves the MISS backedges —
+        # the last iteration-count lever after ext8u. All 8 entry
+        # loads happen before the 8 stores, so group 2 cannot see
+        # group 1's stores; nearest-previous candidates across the
+        # whole window come from the full intra-window same chain.
+        def scan_body8(st):
+            ip, lit_start, op, skip = st
+            curs = [key(ip + d) for d in range(8)]
+            hs = [hash_smem[ip + d] for d in range(8)]
+            entries = [table_smem[h] for h in hs]
+            for d in range(8):
+                table_smem[hs[d]] = epoch | (ip + d)
+            hits = []
+            cands = []
+            for d in range(8):
+                cand_t = entries[d] & 0xFFFF
+                okd = (
+                    ((entries[d] >> 16) == (epoch >> 16))
+                    & (cand_t < ip + d)
+                    & (key_v(cand_t) == curs[d])
+                )
+                cand = jnp.where(okd, cand_t, 0)
+                for i in range(d):
+                    same = curs[i] == curs[d]
+                    cand = jnp.where(same, ip + i, cand)
+                    okd = okd | same
+                hits.append(okd)
+                cands.append(cand)
+            hit_any = hits[0]
+            for d in range(1, 8):
+                hit_any = hit_any | hits[d]
+            d_first = jnp.int32(7)
+            cand_first = cands[7]
+            for d in range(6, -1, -1):
+                d_first = jnp.where(hits[d], d, d_first)
+                cand_first = jnp.where(hits[d], cands[d], cand_first)
+
+            def hitp():
+                at = ip + d_first
+                end, ls, op3 = ext_and_emit(at, cand_first, lit_start, op)
+                return (end, ls, op3, jnp.int32(skip_base))
+
+            return jax.lax.cond(
+                hit_any,
+                hitp,
+                lambda: (
+                    ip + 6 + 2 * (skip >> 5), lit_start, op, skip + 2
+                ),
+            )
+
+        def scan_cond8(st):
+            return st[0] + margin + 4 < n
+
+        ip, lit_start, op, skip = jax.lax.while_loop(
+            scan_cond8, scan_body8,
+            (jnp.minimum(jnp.int32(1), n), jnp.int32(0), jnp.int32(0),
+             jnp.int32(skip_base)),
+        )
+    elif variant not in ("enc2loop", "encpre"):
         ip, lit_start, op, skip = jax.lax.while_loop(
             scan_cond, scan_body,
             (jnp.minimum(jnp.int32(1), n), jnp.int32(0), jnp.int32(0),
@@ -1573,7 +1634,7 @@ def main():
             )
             continue
         if v in ("encext8", "encfull", "encext8u", "encext16u", "encwhen8",
-                 "encr4", "encext8s2"):
+                 "encr4", "encext8s2", "encoct", "encoct8"):
             # Stride-8 extension seeds the table differently, so the
             # output is a different VALID encoding: verify by decoding
             # and report the density delta instead of byte identity.
