@@ -80,21 +80,31 @@ def _pow2_batch(b: int) -> int:
     return 1 << max(0, (max(b, 1) - 1)).bit_length()
 
 
-def _pipeline(submit, fetch, n: int) -> None:
+def _pipeline(submit, fetch, n: int, release=None) -> None:
     """Run ``submit(s)`` for s in range(n), calling ``fetch(*work)`` on
     each result in order while keeping up to ``_PIPELINE_DEPTH``
     sub-batches in flight. JAX dispatch is asynchronous, so the device
     works on earlier batches while the host stages later ones; the
-    ordered fetches are the only blocking points."""
+    ordered fetches are the only blocking points.
+
+    ``release(*work)`` is applied to every still-queued sub-batch when
+    a submit or fetch raises, so pooled staging buffers held by pending
+    work are returned instead of abandoned (round-4 verdict: a decode
+    error mid-batch leaked every queued sub-batch's buffer)."""
     from collections import deque
 
     pending: deque = deque()
-    for s in range(n):
-        pending.append(submit(s))
-        if len(pending) > _PIPELINE_DEPTH:
+    try:
+        for s in range(n):
+            pending.append(submit(s))
+            if len(pending) > _PIPELINE_DEPTH:
+                fetch(*pending.popleft())
+        while pending:
             fetch(*pending.popleft())
-    while pending:
-        fetch(*pending.popleft())
+    finally:
+        if release is not None:
+            while pending:
+                release(*pending.popleft())
 
 
 def _stream_codec():
@@ -186,48 +196,57 @@ def _compress_chunks_batched(
         lo = s * sub
         hi = min(len(chunks), lo + sub)
         frags = default_pool.rent((sub, BLOCK_SIZE), np.uint8)
-        lengths = np.zeros(sub, np.int32)
-        for j, c in enumerate(chunks[lo:hi]):
-            a = np.frombuffer(c, np.uint8)
-            frags[j, : len(a)] = a
-            # Zero the tail: the scan kernel's candidate search hashes
-            # key windows past `length`, so stale pool bytes would make
-            # compressed output nondeterministic (review r3). O(tail),
-            # free for full 64 KiB chunks — not a whole-buffer fill.
-            frags[j, len(a) :] = 0
-            lengths[j] = len(a)
-        packed, flens = codec.frame_batch_packed(frags, lengths)
+        try:
+            lengths = np.zeros(sub, np.int32)
+            for j, c in enumerate(chunks[lo:hi]):
+                a = np.frombuffer(c, np.uint8)
+                frags[j, : len(a)] = a
+                # Zero the tail: the scan kernel's candidate search hashes
+                # key windows past `length`, so stale pool bytes would make
+                # compressed output nondeterministic (review r3). O(tail),
+                # free for full 64 KiB chunks — not a whole-buffer fill.
+                frags[j, len(a) :] = 0
+                lengths[j] = len(a)
+            packed, flens = codec.frame_batch_packed(frags, lengths)
+        except BaseException:
+            default_pool.giveback(frags)
+            raise
         return packed, flens, lo, hi, frags
 
     def fetch(packed, flens, lo, hi, frags):
         from snappier_tpu.models.codec import compact_words
 
-        flens_h = np.asarray(flens)
-        if (flens_h[: hi - lo] > packed.shape[1] * 4).any():
-            raise RuntimeError(
-                "framed chunk exceeds its slot — emission bound "
-                "violated (kernel bug)"
-            )
-        wlens = (flens_h + 3) >> 2
-        total = int(wlens.sum())
-        slot_words = packed.shape[0] * packed.shape[1]
-        capw = max(1024, 1 << (max(total, 1) - 1).bit_length())
-        if capw < slot_words // 2:
-            # One device gather re-packs the ragged rows end to end;
-            # the [:total] slice fetches the true payload size.
-            flat = compact_words(packed, (flens + 3) >> 2, cap_words=capw)
-            buf = np.asarray(flat[:total]).view(np.uint8)
-            offs = np.concatenate([[0], np.cumsum(wlens)])
-            for j in range(hi - lo):
-                o = int(offs[j]) * 4
-                results[lo + j] = buf[o : o + int(flens_h[j])].tobytes()
-        else:
-            rows = np.asarray(packed).view(np.uint8)
-            for j in range(hi - lo):
-                results[lo + j] = rows[j, : int(flens_h[j])].tobytes()
+        try:
+            flens_h = np.asarray(flens)
+            if (flens_h[: hi - lo] > packed.shape[1] * 4).any():
+                raise RuntimeError(
+                    "framed chunk exceeds its slot — emission bound "
+                    "violated (kernel bug)"
+                )
+            wlens = (flens_h + 3) >> 2
+            total = int(wlens.sum())
+            slot_words = packed.shape[0] * packed.shape[1]
+            capw = max(1024, 1 << (max(total, 1) - 1).bit_length())
+            if capw < slot_words // 2:
+                # One device gather re-packs the ragged rows end to end;
+                # the [:total] slice fetches the true payload size.
+                flat = compact_words(packed, (flens + 3) >> 2, cap_words=capw)
+                buf = np.asarray(flat[:total]).view(np.uint8)
+                offs = np.concatenate([[0], np.cumsum(wlens)])
+                for j in range(hi - lo):
+                    o = int(offs[j]) * 4
+                    results[lo + j] = buf[o : o + int(flens_h[j])].tobytes()
+            else:
+                rows = np.asarray(packed).view(np.uint8)
+                for j in range(hi - lo):
+                    results[lo + j] = rows[j, : int(flens_h[j])].tobytes()
+        finally:
+            default_pool.giveback(frags)
+
+    def release(packed, flens, lo, hi, frags):
         default_pool.giveback(frags)
 
-    _pipeline(submit, fetch, nsub)
+    _pipeline(submit, fetch, nsub, release=release)
     return results
 
 
@@ -334,29 +353,41 @@ def _decompress_chunks_batched(
             width = max(1024, 1 << (max(width, 1) - 1).bit_length())
             width = min(width, CHUNK_COMP_CAP)
             comp = default_pool.rent((sub, width), np.uint8)
-            comp_lens = np.zeros(sub, np.int32)
-            for j, i in enumerate(group):
-                a = np.frombuffer(payloads[i], np.uint8)
-                comp[j, : len(a)] = a
-                comp_lens[j] = len(a)
-            return (*fn(comp, comp_lens), lo, hi, comp)
+            try:
+                comp_lens = np.zeros(sub, np.int32)
+                for j, i in enumerate(group):
+                    a = np.frombuffer(payloads[i], np.uint8)
+                    comp[j, : len(a)] = a
+                    comp_lens[j] = len(a)
+                out = fn(comp, comp_lens)
+            except BaseException:
+                default_pool.giveback(comp)
+                raise
+            return (*out, lo, hi, comp)
 
         def fetch(packed, out_lens, errs, dev_crcs, lo, hi, comp):
-            errs_h = np.asarray(errs)
-            out_lens_h = np.asarray(out_lens)
-            crcs_h = np.asarray(dev_crcs).view(np.uint32) if use_crc else None
-            rows = np.asarray(packed).view(np.uint8)
-            for j in range(hi - lo):
-                i = device_idx[lo + j]
-                block_rt._raise_for_err(int(errs_h[j]))
-                body = rows[j, : int(out_lens_h[j])].tobytes()
-                result[i] = body
-                crcs[i] = (
-                    int(crcs_h[j]) if crcs_h is not None else host_crc(body)
+            try:
+                errs_h = np.asarray(errs)
+                out_lens_h = np.asarray(out_lens)
+                crcs_h = (
+                    np.asarray(dev_crcs).view(np.uint32) if use_crc else None
                 )
+                rows = np.asarray(packed).view(np.uint8)
+                for j in range(hi - lo):
+                    i = device_idx[lo + j]
+                    block_rt._raise_for_err(int(errs_h[j]))
+                    body = rows[j, : int(out_lens_h[j])].tobytes()
+                    result[i] = body
+                    crcs[i] = (
+                        int(crcs_h[j]) if crcs_h is not None else host_crc(body)
+                    )
+            finally:
+                default_pool.giveback(comp)
+
+        def release(packed, out_lens, errs, dev_crcs, lo, hi, comp):
             default_pool.giveback(comp)
 
-        _pipeline(submit, fetch, nsub)
+        _pipeline(submit, fetch, nsub, release=release)
     return result, crcs  # type: ignore[return-value]
 
 

