@@ -2,9 +2,12 @@
 SnappyDecompressorTests (byte-at-a-time varint feed :10-35, scratch
 resume :42-58, ExtractData lifecycle :64-160)."""
 
+import io
+
 import numpy as np
 import pytest
 
+import snappier_tpu as st
 from snappier_tpu.errors import InvalidDataError, InvalidOperationError
 from snappier_tpu.format import oracle
 from snappier_tpu.runtime.incremental import (
@@ -289,3 +292,80 @@ def test_compress_iter_writer_memory_highwater():
     # Writer mode: staging (2 blocks) + per-batch body, far below the
     # full output.
     assert peak_writer < n // 2, (peak_writer, n)
+
+
+def test_decompress_iter_writer_matches_bytes_mode():
+    """Writer-mode decode streams the identical bytes the buffered mode
+    returns, across corpus files and split granularities."""
+    rng = np.random.default_rng(11)
+    data = load_corpus_file("html_x_4")
+    comp = st.compress(data, engine="oracle")
+    for step in (1_000, 8_192, 100_000):
+        chunks = [comp[i : i + step] for i in range(0, len(comp), step)]
+        pieces: list[bytes] = []
+        n = decompress_iter(chunks, writer=pieces.append)
+        assert n == len(data)
+        assert b"".join(pieces) == data
+    # object-with-write form (the IBufferWriter analog)
+    buf = io.BytesIO()
+    n = decompress_iter([comp], writer=buf)
+    assert n == len(data) and buf.getvalue() == data
+
+
+def test_decompress_iter_writer_memory_highwater():
+    """Round-4 verdict: writer-mode decode must hold O(lookback+chunk),
+    not the whole output."""
+    import tracemalloc
+
+    rng = np.random.default_rng(12)
+    data = rng.integers(0, 256, 6 << 20, dtype=np.uint8).tobytes()
+    comp = st.compress(data, engine="oracle")
+    chunks = [comp[i : i + 65536] for i in range(0, len(comp), 65536)]
+
+    tracemalloc.start()
+    ref = decompress_iter(chunks)
+    peak_buffered = tracemalloc.get_traced_memory()[1]
+    tracemalloc.stop()
+    assert ref == data
+    del ref
+
+    tracemalloc.start()
+    total = 0
+
+    def discard(b: bytes) -> None:
+        nonlocal total
+        total += len(b)
+
+    n = decompress_iter(chunks, writer=discard)
+    peak_writer = tracemalloc.get_traced_memory()[1]
+    tracemalloc.stop()
+
+    assert n == total == len(data)
+    assert peak_buffered >= len(data)  # buffered held the whole output
+    assert peak_writer < len(data) // 4, (peak_writer, len(data))
+
+
+def test_decompress_iter_writer_lookback_window():
+    """A copy reaching past the drained window raises loudly; a larger
+    lookback= accepts the same stream; buffered mode always accepts."""
+    from snappier_tpu.errors import InvalidOperationError
+    from snappier_tpu.format.varint import write_varint
+
+    lit = bytes(range(256)) * 280  # 71680 literal bytes
+    # copy4: offset 70000 (> 64 KiB — spec-legal, unseen from encoders)
+    tag = bytes([(8 - 1) << 2 | 3]) + (70000).to_bytes(4, "little")
+    stream = (
+        write_varint(len(lit) + 8)
+        + bytes([(59 + 3) << 2])
+        + (len(lit) - 1).to_bytes(3, "little")
+        + lit
+        + tag
+    )
+    expect = lit + lit[len(lit) - 70000 : len(lit) - 70000 + 8]
+    chunks = [stream[i : i + 4096] for i in range(0, len(stream), 4096)]
+    assert decompress_iter(chunks) == expect  # buffered: fine
+    with pytest.raises(InvalidOperationError):
+        decompress_iter(chunks, writer=lambda b: None)
+    pieces: list[bytes] = []
+    n = decompress_iter(chunks, writer=pieces.append, lookback=131072)
+    assert n == len(expect) and b"".join(pieces) == expect
