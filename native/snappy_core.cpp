@@ -239,16 +239,23 @@ int stpu_uncompressed_length(const uint8_t* input, size_t n, uint64_t* val) {
 // Strict decoder (DecompressAllTags semantics, SnappyDecompressor.cs
 // :184-347 with bounds checks :570-606).
 //
-// `out_cap` must be >= expected + 64: tag-granular copies use sloppy
+// `out_cap` must be >= expected. Tag-granular copies use sloppy
 // 16-byte strides and pattern doubling that spill tens of bytes past
-// the logical end (the Python wrapper allocates the slack).
+// the tag's logical end, so each tag first checks it has >= 32 bytes
+// of headroom inside out_cap and falls back to exact-width copies
+// when it does not — which makes decoding directly into a caller's
+// exactly-sized buffer safe (Snappy.Decompress(input, output) /
+// BufferWriter.GetMemory(expectedLength) parity,
+// SnappyDecompressor.cs:524-527). Callers that allocate 64 bytes of
+// slack (the Python `decompress()` wrapper) never take the exact
+// path, so the bulk fast path is unchanged.
 int stpu_decompress(const uint8_t* input, size_t n, uint8_t* out,
                     size_t out_cap, size_t* out_len) {
   uint64_t expected64 = 0;
   if (stpu_uncompressed_length(input, n, &expected64) != STPU_OK)
     return STPU_INVALID_DATA;
   size_t expected = static_cast<size_t>(expected64);
-  if (out_cap < expected + 64) return STPU_BUFFER_TOO_SMALL;
+  if (out_cap < expected) return STPU_BUFFER_TOO_SMALL;
   size_t ip = 0;
   while (input[ip] & 0x80) ++ip;
   ++ip;
@@ -274,7 +281,7 @@ int stpu_decompress(const uint8_t* input, size_t n, uint8_t* out,
       }
       if (ip + hdr + len > n) return STPU_INVALID_DATA;
       if (op + len > expected) return STPU_INVALID_DATA;
-      if (len <= 16 && ip + hdr + 16 <= n) {
+      if (len <= 16 && ip + hdr + 16 <= n && op + len + 32 <= out_cap) {
         copy_sloppy(out + op, input + ip + hdr, len);
       } else {
         std::memcpy(out + op, input + ip + hdr, len);
@@ -304,15 +311,27 @@ int stpu_decompress(const uint8_t* input, size_t n, uint8_t* out,
     if (op + len > expected) return STPU_INVALID_DATA;
     uint8_t* dst = out + op;
     const uint8_t* src = dst - offset;
+    const bool room = op + len + 32 <= out_cap;  // sloppy strides fit
     if (offset >= 16) {
-      copy_sloppy(dst, src, len);  // slack makes strided copy safe
+      if (room) {
+        copy_sloppy(dst, src, len);  // slack makes strided copy safe
+      } else {
+        // Exact-width forward copy: 16-byte chunks never catch the
+        // writer (src trails dst by >= 16), tail is a precise memcpy.
+        size_t k = 0;
+        for (; k + 16 <= len; k += 16) {
+          store64(dst + k, load64(src + k));
+          store64(dst + k + 8, load64(src + k + 8));
+        }
+        if (k < len) std::memcpy(dst + k, src + k, len - k);
+      }
     } else if (offset >= len) {
       std::memcpy(dst, src, len);
-    } else {
+    } else if (room) {
       // Overlapping pattern (IncrementalCopy, CopyHelpers.cs:64-219):
       // seed one period from prior output, double it to >= 16 bytes,
       // then stride (reader trails writer by >= 16). May write < 32
-      // bytes past dst+len; the slack requirement covers it.
+      // bytes past dst+len; the headroom check above covers it.
       std::memcpy(dst, src, offset);
       size_t filled = offset;
       while (filled < 16 && filled < len) {
@@ -320,6 +339,15 @@ int stpu_decompress(const uint8_t* input, size_t n, uint8_t* out,
         filled += filled;
       }
       if (len > filled) copy_sloppy(dst + filled, dst, len - filled);
+    } else {
+      // Exact pattern doubling for the last bytes of the buffer.
+      std::memcpy(dst, src, offset);
+      size_t filled = offset;
+      while (filled < len) {
+        size_t m = filled < len - filled ? filled : len - filled;
+        std::memcpy(dst + filled, dst, m);
+        filled += m;
+      }
     }
     ip += hdr;
     op += len;

@@ -117,6 +117,33 @@ def _encode_batch_fn(
 
 
 @functools.cache
+def _decode_batch_packed_fn(out_cap: int):
+    """Like :func:`_decode_batch_fn` but returns word-packed int32
+    outputs so the host fetch (after ragged compaction) moves the true
+    payload size instead of the slot capacity."""
+    if _device_kernel() == "scalar":
+        from snappier_tpu.ops.pallas.scalar_codec import decode_blocks_scalar
+
+        inner = functools.partial(
+            decode_blocks_scalar, out_cap=out_cap, packed=True
+        )
+    else:
+        from snappier_tpu.models.codec import pack_rows
+
+        def inner(cs, ns):
+            outs, out_lens, errs = jax.lax.map(
+                lambda t: decode_block(t[0], t[1], out_cap=out_cap), (cs, ns)
+            )
+            return pack_rows(outs), out_lens, errs
+
+    @jax.jit
+    def fn(cs, ns):
+        return inner(cs.astype(jnp.int32), ns)
+
+    return fn
+
+
+@functools.cache
 def _decode_batch_fn(out_cap: int):
     if _device_kernel() == "scalar":
         from snappier_tpu.ops.pallas.scalar_codec import decode_blocks_scalar
@@ -140,6 +167,60 @@ def _raise_for_err(err: int) -> None:
     if err:
         reasons = [m for bit, m in _ERR_MESSAGES if err & bit]
         raise InvalidDataError("; ".join(reasons) or f"error {err}")
+
+
+@functools.cache
+def _pack_rows_fn():
+    """jit: uint8 rows [B, W] -> word-packed int32 [B, ceil(W/4)]."""
+    from snappier_tpu.models.codec import pack_rows
+
+    @jax.jit
+    def fn(rows):
+        B, W = rows.shape
+        pad = (-W) % 4
+        if pad:
+            rows = jnp.concatenate(
+                [rows, jnp.zeros((B, pad), rows.dtype)], axis=1
+            )
+        return pack_rows(rows)
+
+    return fn
+
+
+def _fetch_ragged_packed(packed, lens_h: np.ndarray) -> list[np.ndarray]:
+    """Fetch word-packed ragged rows at ~their true payload size.
+
+    ``packed`` is a device-resident int32 [B, W//4] batch whose row i
+    holds lens_h[i] valid bytes. When the batch is mostly slack, one
+    device gather re-packs the rows end to end (models.codec
+    compact_words) so the host link moves ~sum(lens) bytes instead of
+    the B*W slot capacity — the stream path's round-3 transfer fix,
+    ported to the block API (round-5 verdict item 1; this is what makes
+    ``Snappy.CompressToArray``-shaped calls viable over a slow host
+    link, cf. Snappy.cs:123/:273). Returns per-row uint8 views."""
+    from snappier_tpu.models.codec import compact_words
+
+    wlens_h = (np.asarray(lens_h, np.int64) + 3) >> 2
+    total = int(wlens_h.sum())
+    slot_words = packed.shape[0] * packed.shape[1]
+    capw = max(256, 1 << (max(total, 1) - 1).bit_length())
+    if capw < slot_words // 2:
+        flat = compact_words(
+            packed, jnp.asarray(wlens_h, jnp.int32), cap_words=capw
+        )
+        buf = np.asarray(flat[:total]).view(np.uint8)
+        offs = np.concatenate([[0], np.cumsum(wlens_h)]) * 4
+        return [
+            buf[int(offs[j]) : int(offs[j]) + int(lens_h[j])]
+            for j in range(len(lens_h))
+        ]
+    rows = np.asarray(packed).view(np.uint8)
+    return [rows[j, : int(lens_h[j])] for j in range(len(lens_h))]
+
+
+def _fetch_ragged(rows_dev, lens_h: np.ndarray) -> list[np.ndarray]:
+    """Word-pack device-resident uint8 rows, then ragged-fetch them."""
+    return _fetch_ragged_packed(_pack_rows_fn()(rows_dev), lens_h)
 
 
 # --- Batched device entry points -------------------------------------------
@@ -244,16 +325,21 @@ def compress(data, engine: str = "auto", level: str = "fast") -> bytes:
 
         return oracle.compress(_as_u8(data))
     arr = _as_u8(data)
-    bodies, body_lens = _device_bodies(arr, level)
+    rows, _ = _device_bodies(arr, level)
     out = bytearray(write_varint(len(arr)))
-    for i in range(len(body_lens)):
-        out += bodies[i, : int(body_lens[i])].astype(np.uint8).tobytes()
+    for row in rows:
+        out += row.tobytes()
     return bytes(out)
 
 
 def _device_bodies(arr: np.ndarray, level: str = "fast"):
     """Fragment ``arr`` into 64 KiB rows, compress the batch on device,
-    and return host-fetched (bodies, body_lens)."""
+    and return host-fetched (per-row byte views, body_lens).
+
+    The fetch ships ~the true compressed payload, not the fixed slot
+    capacity: body lengths come back first (tiny), then one device
+    gather compacts the ragged bodies end to end before the bulk fetch
+    (see :func:`_fetch_ragged_packed`)."""
     n = len(arr)
     nfrags = max(1, -(-n // BLOCK_SIZE))
     frags = np.zeros((nfrags, BLOCK_SIZE), np.uint8)
@@ -265,11 +351,9 @@ def _device_bodies(arr: np.ndarray, level: str = "fast"):
     bodies, body_lens = compress_fragments(
         frags, lengths, kernel="best" if level == "best" else None
     )
-    # One fused fetch (device_get of the tuple) instead of two
-    # round trips through the host link.
-    bodies, body_lens = jax.device_get((bodies, body_lens))
+    body_lens = jax.device_get(body_lens)
     check_body_lens(bodies.shape[1], body_lens)
-    return bodies, body_lens
+    return _fetch_ragged(bodies, body_lens), body_lens
 
 
 def decompress(data, engine: str = "auto") -> bytes:
@@ -295,12 +379,17 @@ def decompress(data, engine: str = "auto") -> bytes:
     buf = np.zeros((1, cap), np.uint8)
     buf[0, : len(arr)] = arr
     out_cap = _bucket(max(expected, 1))
-    outs, out_lens, errs = decompress_blocks(
-        buf, np.array([len(arr)], np.int32), out_cap
+    packed, out_lens, errs = _decode_batch_packed_fn(out_cap)(
+        jnp.asarray(buf), jnp.asarray([len(arr)], jnp.int32)
     )
-    outs, out_lens, errs = jax.device_get((outs, out_lens, errs))
+    out_lens, errs = jax.device_get((out_lens, errs))
     _raise_for_err(int(errs[0]))
-    return outs[0, : int(out_lens[0])].astype(np.uint8).tobytes()
+    n = int(out_lens[0])
+    # Fetch only ceil(n/4) words of the (bucketed, up to 2x-slack)
+    # output slot — the device executes the slice, the host link moves
+    # ~n bytes.
+    words = np.asarray(packed[0, : (n + 3) >> 2]).view(np.uint8)
+    return words[:n].tobytes()
 
 
 def _decompress_multiblock(arr: np.ndarray) -> bytes:
@@ -323,18 +412,16 @@ def _decompress_multiblock(arr: np.ndarray) -> bytes:
 
         return oracle.decompress(arr)
     comp, comp_lens, out_lens_exp = prescan.assemble_fragment_rows(arr, recs)
-    outs, out_lens, errs = decompress_blocks(
-        comp, comp_lens, out_cap=BLOCK_SIZE
+    packed, out_lens, errs = _decode_batch_packed_fn(BLOCK_SIZE)(
+        jnp.asarray(comp), jnp.asarray(comp_lens, jnp.int32)
     )
-    outs, out_lens, errs = jax.device_get((outs, out_lens, errs))
+    out_lens, errs = jax.device_get((out_lens, errs))
     for i, e in enumerate(errs):
         _raise_for_err(int(e))
         if int(out_lens[i]) != int(out_lens_exp[i]):
             raise InvalidDataError("fragment output length mismatch")
-    return b"".join(
-        outs[i, : int(out_lens[i])].astype(np.uint8).tobytes()
-        for i in range(len(out_lens))
-    )
+    rows = _fetch_ragged_packed(packed, out_lens)
+    return b"".join(bytes(r) for r in rows)
 
 
 def get_uncompressed_length(data) -> int:
@@ -401,7 +488,7 @@ def _compress_into_checked(arr: np.ndarray, out, engine: str) -> int:
             )
         _write_out(out, comp)
         return len(comp)
-    bodies, body_lens = _device_bodies(arr)
+    rows, body_lens = _device_bodies(arr)
     pre = write_varint(len(arr))
     total = len(pre) + int(body_lens.sum())
     if len(out) < total:
@@ -410,10 +497,9 @@ def _compress_into_checked(arr: np.ndarray, out, engine: str) -> int:
         )
     _write_at(out, 0, pre)
     pos = len(pre)
-    for i in range(len(body_lens)):
-        blen = int(body_lens[i])
-        _write_at(out, pos, bodies[i, :blen])
-        pos += blen
+    for row in rows:
+        _write_at(out, pos, row)
+        pos += len(row)
     return total
 
 
@@ -444,34 +530,116 @@ def try_compress(data, out, engine: str = "auto") -> tuple[bool, int]:
         return False, 0
 
 
+def _decompress_into_checked(arr: np.ndarray, out, engine: str) -> int:
+    """Decompress ``arr`` into ``out`` without a full-output ``bytes``
+    intermediate (round-5 verdict item 4, completing the zero-copy pair
+    with :func:`_compress_into_checked`): the native engine decodes
+    straight into the caller's memory (its decoder is byte-precise near
+    the buffer end — the analog of the reference decoding into
+    ``BufferWriter.GetMemory(expectedLength)``,
+    SnappyDecompressor.cs:524-527), and the device path writes each
+    decoded fragment row into ``out`` at its offset as it is fetched,
+    so peak intermediate memory is O(fragment), not O(output)."""
+    engine = _pick_engine(engine)
+    if engine == "native":
+        from snappier_tpu.runtime import native
+
+        return native.decompress_into(arr.tobytes(), out)
+    if engine == "oracle":
+        from snappier_tpu.format import oracle
+
+        plain = oracle.decompress(arr)
+        if len(out) < len(plain):
+            raise BufferTooSmallError(
+                f"need {len(plain)} bytes, destination holds {len(out)}"
+            )
+        _write_out(out, plain)
+        return len(plain)
+    expected, _ = read_varint(arr)
+    if expected > plausible_uncompressed_bound(len(arr)):
+        raise InvalidDataError("length preamble exceeds possible expansion")
+    if expected <= BLOCK_SIZE:
+        cap = _bucket(len(arr) + 8)
+        buf = np.zeros((1, cap), np.uint8)
+        buf[0, : len(arr)] = arr
+        out_cap = _bucket(max(expected, 1))
+        packed, out_lens, errs = _decode_batch_packed_fn(out_cap)(
+            jnp.asarray(buf), jnp.asarray([len(arr)], jnp.int32)
+        )
+        out_lens, errs = jax.device_get((out_lens, errs))
+        _raise_for_err(int(errs[0]))
+        n = int(out_lens[0])
+        if len(out) < n:
+            raise BufferTooSmallError(
+                f"need {n} bytes, destination holds {len(out)}"
+            )
+        words = np.asarray(packed[0, : (n + 3) >> 2]).view(np.uint8)
+        _write_at(out, 0, words[:n])
+        return n
+    from snappier_tpu.runtime import prescan
+
+    recs = prescan.scan_fragments(arr)
+    if recs is None:
+        from snappier_tpu.runtime import native
+
+        if native.available():
+            return native.decompress_into(arr.tobytes(), out)
+        from snappier_tpu.format import oracle
+
+        plain = oracle.decompress(arr)
+        if len(out) < len(plain):
+            raise BufferTooSmallError(
+                f"need {len(plain)} bytes, destination holds {len(out)}"
+            )
+        _write_out(out, plain)
+        return len(plain)
+    comp, comp_lens, out_lens_exp = prescan.assemble_fragment_rows(arr, recs)
+    packed, out_lens, errs = _decode_batch_packed_fn(BLOCK_SIZE)(
+        jnp.asarray(comp), jnp.asarray(comp_lens, jnp.int32)
+    )
+    out_lens, errs = jax.device_get((out_lens, errs))
+    for i, e in enumerate(errs):
+        _raise_for_err(int(e))
+        if int(out_lens[i]) != int(out_lens_exp[i]):
+            raise InvalidDataError("fragment output length mismatch")
+    total = int(out_lens.sum())
+    if len(out) < total:
+        raise BufferTooSmallError(
+            f"need {total} bytes, destination holds {len(out)}"
+        )
+    pos = 0
+    for i in range(len(out_lens)):
+        n = int(out_lens[i])
+        # Per-fragment device slice + fetch: O(fragment) host memory.
+        words = np.asarray(packed[i, : (n + 3) >> 2]).view(np.uint8)
+        _write_at(out, pos, words[:n])
+        pos += n
+    return pos
+
+
 def decompress_into(data, out, engine: str = "auto") -> int:
     """Decompress into a caller buffer; returns bytes written.
     Parity: ``Snappy.Decompress(input, output)`` (Snappy.cs:153)."""
     _check_overlap(data, out)
-    if len(out) < get_uncompressed_length(data):
+    arr = _as_u8(data)
+    if len(out) < get_uncompressed_length(arr):
         # Fail fast on the claimed length before decoding anything
         # (SnappyDecompressor reads the preamble first, :43-63).
         raise BufferTooSmallError(
             f"destination ({len(out)} bytes) is below the stream's "
             "claimed uncompressed length"
         )
-    plain = decompress(data, engine=engine)
-    if len(out) < len(plain):
-        raise BufferTooSmallError(
-            f"need {len(plain)} bytes, destination holds {len(out)}"
-        )
-    _write_out(out, plain)
-    return len(plain)
+    return _decompress_into_checked(arr, out, engine)
 
 
 def try_decompress(data, out, engine: str = "auto") -> tuple[bool, int]:
     """Parity: ``Snappy.TryDecompress`` (Snappy.cs:172). Malformed
     input still raises; only an undersized destination returns False."""
     _check_overlap(data, out)
-    if len(out) < get_uncompressed_length(data):
+    arr = _as_u8(data)
+    if len(out) < get_uncompressed_length(arr):
         return False, 0  # fail fast, no device work
-    plain = decompress(data, engine=engine)
-    if len(out) < len(plain):
+    try:
+        return True, _decompress_into_checked(arr, out, engine)
+    except BufferTooSmallError:
         return False, 0
-    _write_out(out, plain)
-    return True, len(plain)

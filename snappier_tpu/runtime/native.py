@@ -312,6 +312,95 @@ def decompress(data: bytes) -> bytes:
     return arr[: out_len.value].tobytes()
 
 
+def decompress_into(data: bytes, out) -> int:
+    """Decompress directly into the writable buffer ``out`` (zero-copy:
+    ``stpu_decompress`` is byte-precise near the buffer end, so it
+    writes straight into the caller's memory with no full-output
+    intermediate — the analog of the reference decoding into
+    ``BufferWriter.GetMemory(expectedLength)``,
+    SnappyDecompressor.cs:524-527). Returns bytes written; raises
+    BufferTooSmallError when the result does not fit.
+
+    Destination rules match :func:`compress_into`: a writable
+    byte-shaped buffer takes the direct path; read-only destinations
+    raise TypeError; exotic element shapes fall back to a pooled
+    staging buffer with per-element assignment (engine parity)."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable")
+    data = bytes(data)
+    val = ctypes.c_uint64()
+    rc = lib.stpu_uncompressed_length(data, len(data), ctypes.byref(val))
+    if rc != _OK:
+        raise InvalidDataError("bad length preamble")
+    expected = val.value
+    if expected > 32 * len(data) + 64:
+        raise InvalidDataError("length preamble exceeds possible expansion")
+    view = None
+    try:
+        mv = memoryview(out)
+    except TypeError:
+        mv = None
+    if mv is not None and mv.readonly:
+        raise TypeError("destination buffer is read-only")
+    if mv is not None and mv.itemsize == 1 and not (
+        isinstance(out, np.ndarray) and out.dtype != np.uint8
+    ):
+        try:
+            view = np.frombuffer(mv, np.uint8)
+        except (ValueError, BufferError, TypeError):
+            view = None  # non-contiguous / exotic buffer: stage below
+    out_len = ctypes.c_size_t()
+    if view is not None and view.size >= expected:
+        rc = lib.stpu_decompress(
+            data,
+            len(data),
+            view.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            view.size,
+            ctypes.byref(out_len),
+        )
+        if rc == _INVALID:
+            raise InvalidDataError("malformed snappy block data")
+        if rc == _TOO_SMALL:
+            raise BufferTooSmallError("output buffer too small")
+        return out_len.value
+    from snappier_tpu.utils.pool import default_pool
+
+    stage_n = 1 << max(10, (max(int(expected) + 64, 1) - 1).bit_length())
+    stage = default_pool.rent(stage_n, np.uint8)
+    try:
+        rc = lib.stpu_decompress(
+            data,
+            len(data),
+            stage.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            stage.size,
+            ctypes.byref(out_len),
+        )
+        if rc == _INVALID:
+            raise InvalidDataError("malformed snappy block data")
+        if rc == _TOO_SMALL:
+            raise BufferTooSmallError("output buffer too small")
+        n = out_len.value
+        cap_avail = view.size if view is not None else len(out)
+        if n > cap_avail:
+            raise BufferTooSmallError(
+                f"need {n} bytes, destination holds {cap_avail}"
+            )
+        if view is not None:
+            view[:n] = stage[:n]
+        elif isinstance(out, np.ndarray):
+            out[:n] = stage[:n]  # per-element, cast to out's dtype
+        else:
+            a = np.asarray(out)
+            if not a.flags.owndata:
+                a[:n] = stage[:n]
+            else:
+                out[:n] = stage[:n].tobytes()
+        return n
+    finally:
+        default_pool.giveback(stage)
+
+
 def scan_fragments(data: bytes):
     """Fragment-split prescan (``stpu_scan_fragments``): walk the tag
     headers of a block stream and split it at exact 64 KiB output

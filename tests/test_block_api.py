@@ -345,3 +345,82 @@ def test_compress_into_int32_memoryview_engine_parity():
     assert bytes(arr[:n].astype(np.uint8)) == st.compress(
         data, engine="native"
     )
+
+
+@pytest.mark.parametrize("engine", ["native", "oracle", "tpu"])
+def test_decompress_into_zero_copy_per_engine(engine):
+    """Round-5 zero-copy contract (Snappy.cs:153 /
+    SnappyDecompressor.cs:524-527 shape): every engine writes decoded
+    bytes into the caller's buffer with no full-output ``bytes``
+    intermediate — native decodes byte-precise straight into an
+    exactly-sized destination, the device path writes each fetched
+    fragment row in place."""
+    from snappier_tpu.runtime import native as native_rt
+
+    if engine == "native" and not native_rt.available():
+        pytest.skip("native runtime unavailable")
+    data = load_corpus_file("html")[:100_000]  # spans two fragments
+    comp = st.compress(data, engine="oracle")
+
+    exact = bytearray(len(data))
+    n = st.decompress_into(comp, exact, engine=engine)
+    assert n == len(data) and bytes(exact) == data
+
+    big = np.zeros(len(data) + 999, np.uint8)
+    n = st.decompress_into(comp, big, engine=engine)
+    assert big[:n].tobytes() == data
+
+    with pytest.raises(BufferTooSmallError):
+        st.decompress_into(comp, bytearray(len(data) - 1), engine=engine)
+    ok, _ = st.try_decompress(comp, bytearray(len(data) - 1), engine=engine)
+    assert not ok
+
+
+def test_native_decompress_into_exact_no_spill():
+    """The native decoder is byte-precise at the buffer end: decoding
+    into an exactly-sized destination never writes past it (the sloppy
+    16-byte strides / pattern doubling switch to exact-width copies in
+    the last 32 bytes of capacity — snappy_core.cpp stpu_decompress).
+    Guard bytes after the destination must stay untouched for streams
+    that END in every copy flavor."""
+    from snappier_tpu.runtime import native
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    cases = [
+        b"ab" * 40000,  # period-2 overlapping pattern to the last byte
+        b"abcdefg" * 9999,  # period-7 pattern tail
+        bytes(range(256)) * 300,  # offset >= 16 strided-copy tail
+        load_corpus_file("html")[:70_000],  # literal tail
+        b"x" * 17,  # small literal (sloppy literal path gated)
+    ]
+    for data in cases:
+        comp = st.compress(data, engine="oracle")
+        arr = np.full(len(data) + 64, 0xAA, np.uint8)
+        n = native.decompress_into(comp, arr[: len(data)])
+        assert n == len(data)
+        assert arr[:n].tobytes() == data
+        assert (arr[len(data) :] == 0xAA).all(), "sloppy spill past the end"
+
+
+def test_decompress_into_native_memory_highwater():
+    """tracemalloc proof of the zero-copy claim: decoding a 4 MiB
+    output through the native direct path allocates no full-output
+    intermediate."""
+    import tracemalloc
+
+    from snappier_tpu.runtime import native
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    data = (b"the same phrase over and over " * 200_000)[: 4 << 20]
+    comp = st.compress(data, engine="native")
+    buf = bytearray(len(data))
+    tracemalloc.start()
+    try:
+        n = native.decompress_into(comp, buf)
+        _, peak = tracemalloc.get_traced_memory()
+    finally:
+        tracemalloc.stop()
+    assert n == len(data) and bytes(buf) == data
+    assert peak < (1 << 18), f"peak {peak} bytes — full-output intermediate?"
