@@ -24,8 +24,14 @@ import numpy as np
 import jax
 
 from snappier_tpu.constants import BLOCK_SIZE
+from snappier_tpu.errors import InvalidDataError
 from snappier_tpu.format.varint import write_varint
-from snappier_tpu.parallel.mesh import BLOCK_AXIS, make_mesh, sharded_compress
+from snappier_tpu.parallel.mesh import (
+    BLOCK_AXIS,
+    make_mesh,
+    sharded_compress,
+    sharded_decompress,
+)
 
 
 def initialize(coordinator_address: str | None = None, **kw) -> None:
@@ -128,3 +134,127 @@ def compress_corpus_sharded(data: bytes, mesh=None, kernel: str | None = None):
         "local_blocks": local_blocks,
     }
     return bytes(payload), meta
+
+
+def decompress_corpus_sharded(
+    data: bytes,
+    mesh=None,
+    kernel: str | None = None,
+    fragment_size: int = BLOCK_SIZE,
+):
+    """Decode an arbitrarily large block-format buffer data-parallel
+    over the mesh — the decode twin of :func:`compress_corpus_sharded`
+    (round-5 verdict item 2; the reference decodes any size through one
+    serial lookback buffer, SnappyDecompressor.cs:43-184 — this is its
+    replacement at pod scale).
+
+    Pipeline: host prescan splits the tag stream at exact 64 KiB
+    *output* boundaries (runtime/prescan.py; GB/s in the native
+    scanner) → each fragment re-wrapped as a standalone block → batch
+    padded to the mesh multiple → ``sharded_decompress`` over the block
+    axis (zero codec-body communication) → ordered assembly from the
+    replicated out_lens map, each host writing only its addressable
+    fragments' byte ranges.
+
+    Returns ``(plain, meta)``: the decoded bytes (in a multi-process
+    run, bytes only at this process's fragments — zeros elsewhere; the
+    union across processes is the complete output) and the assembly
+    map (per-fragment lengths/offsets + this process's fragment
+    indices).
+
+    Window-crossing streams (legal per the wire format, emitted by no
+    known encoder) fall back to the serial host decoder on every
+    process, exactly as the single-device path does.
+
+    ``fragment_size``: the prescan output line (production BLOCK_SIZE;
+    smaller values serve hermetic small-shape mesh tests and the
+    multichip dry-run, where the 64 KiB out_cap would compile for
+    minutes on a CPU mesh)."""
+    from snappier_tpu.runtime import prescan
+
+    mesh = mesh or make_mesh()
+    nd = int(np.prod(list(mesh.shape.values())))
+    arr = np.frombuffer(bytes(data), np.uint8)
+    recs = prescan.scan_fragments(arr, fragment_size)
+    if recs is None:
+        from snappier_tpu.runtime import block
+
+        plain = block.decompress(
+            arr, engine="native" if _native_available() else "oracle"
+        )
+        meta = {
+            "uncompressed_length": len(plain),
+            "fragment_lengths": np.array([len(plain)], np.int64),
+            "fragment_offsets": np.array([0], np.int64),
+            "local_fragments": [0],
+            "window_crossing_fallback": True,
+        }
+        return plain, meta
+    comp, comp_lens, out_lens_exp = prescan.assemble_fragment_rows(arr, recs)
+    nf = comp.shape[0]
+    b = -(-nf // nd) * nd  # pad batch to mesh multiple
+    if b > nf:
+        pad_rows = np.zeros((b - nf, comp.shape[1]), comp.dtype)
+        # A padded row must still be a valid block: a 1-byte varint(0)
+        # preamble decodes to zero bytes with no error (all-zero rows
+        # with comp_len 0 would trip the decoder's preamble check).
+        comp = np.concatenate([comp, pad_rows], axis=0)
+        comp_lens = np.concatenate(
+            [comp_lens, np.ones(b - nf, np.int32)], axis=0
+        )
+    multiproc = jax.process_count() > 1
+    if multiproc:
+        comp_in = _global_batch(comp, mesh)
+        comp_lens_in = _global_batch(comp_lens, mesh)
+    else:
+        comp_in, comp_lens_in = comp, comp_lens
+    outs, out_lens, max_err = sharded_decompress(
+        comp_in, comp_lens_in, out_cap=fragment_size, mesh=mesh, kernel=kernel
+    )
+    if int(np.asarray(max_err)):
+        from snappier_tpu.runtime.block import _raise_for_err
+
+        _raise_for_err(int(np.asarray(max_err)))
+    out_lens = np.asarray(out_lens)  # replicated assembly map
+    if not (out_lens[:nf] == np.asarray(out_lens_exp)).all():
+        raise InvalidDataError("fragment output length mismatch")
+    offsets = np.concatenate([[0], np.cumsum(out_lens[:nf])])
+    total = int(offsets[nf])
+    plain = bytearray(total)
+    local_fragments: list[int] = []
+    if multiproc:
+        for shard in outs.addressable_shards:
+            rows = range(*shard.index[0].indices(b))
+            shard_data = np.asarray(shard.data)
+            for j, i in enumerate(rows):
+                if i >= nf:
+                    continue
+                local_fragments.append(i)
+                o = int(offsets[i])
+                plain[o : o + int(out_lens[i])] = (
+                    shard_data[j, : int(out_lens[i])]
+                    .astype(np.uint8)
+                    .tobytes()
+                )
+        local_fragments.sort()
+    else:
+        outs_np = np.asarray(outs)
+        local_fragments = list(range(nf))
+        for i in range(nf):
+            o = int(offsets[i])
+            plain[o : o + int(out_lens[i])] = (
+                outs_np[i, : int(out_lens[i])].astype(np.uint8).tobytes()
+            )
+    meta = {
+        "uncompressed_length": total,
+        "fragment_lengths": out_lens[:nf],
+        "fragment_offsets": offsets[:nf],
+        "local_fragments": local_fragments,
+    }
+    return bytes(plain), meta
+
+
+def _native_available() -> bool:
+    from snappier_tpu.runtime import native
+
+    return native.available()

@@ -127,13 +127,20 @@ def _sharded_decompress_fn(mesh: Mesh, out_cap: int, kernel: str):
                 lambda c, n: decode_block(c, n, out_cap=out_cap)
             )(comp, comp_lens)
 
+    rep = NamedSharding(mesh, P(None))
+    rep0 = NamedSharding(mesh, P())  # replicated scalar
+
     @functools.partial(
         jax.jit,
         in_shardings=(batch, batch),
-        out_shardings=(batch, batch, None),
+        out_shardings=(batch, rep, rep0),
     )
     def fn(comp, comp_lens):
         outs, out_lens, errs = decode(comp, comp_lens)
+        # out_lens come back replicated (a tiny all-gather) so every
+        # process of a multi-host run holds the complete assembly map
+        # while the decoded payload stays sharded where it was produced
+        # — the decode mirror of sharded_compress's offsets.
         return outs, out_lens, jnp.max(errs)
 
     return fn
@@ -163,7 +170,8 @@ def sharded_decompress(
     kernel: str | None = None,
 ):
     """Decode a [B, C] batch of blocks across the mesh. Returns
-    (outs [B, out_cap], out_lens [B], max_err scalar)."""
+    (outs [B, out_cap] batch-sharded, out_lens [B] replicated,
+    max_err scalar replicated)."""
     mesh = mesh or make_mesh()
     return _sharded_decompress_fn(mesh, out_cap, kernel or _default_kernel())(
         jnp.asarray(comp, jnp.int32), jnp.asarray(comp_lens, jnp.int32)

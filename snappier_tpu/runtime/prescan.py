@@ -33,10 +33,17 @@ from snappier_tpu.format.varint import read_varint, write_varint
 TAGS_BEGIN, TAGS_END, LEAD_SRC, LEAD_LEN, TAIL_SRC, TAIL_LEN, OUT_LEN = range(7)
 
 
-def scan_fragments_py(arr: np.ndarray):
+def scan_fragments_py(arr: np.ndarray, fragment_size: int = BLOCK_SIZE):
     """Pure-Python fragment scan. Returns int64 [nf, 7] records, or
     None if a copy crosses a fragment output boundary. Raises
     InvalidDataError on malformed streams.
+
+    ``fragment_size`` is the output line the stream is split at —
+    BLOCK_SIZE in production (the format's window; no known encoder
+    emits copies across it). Smaller values serve hermetic mesh tests
+    (fast CPU compiles at tiny out_cap) on data whose copy offsets
+    stay within the line; streams that do cross return None like any
+    window crossing.
 
     PERFORMANCE WARNING: this walks every tag in a Python loop
     (~1-2 MB/s of compressed input). It exists only as the fallback
@@ -44,6 +51,7 @@ def scan_fragments_py(arr: np.ndarray):
     toolchain); multi-megabyte device decodes without the native
     scanner are minutes-slow — correct, but the wrong tool. The native
     ``stpu_scan_fragments`` (snappy_core.cpp) is ~1000x faster."""
+    BLOCK = fragment_size
     buf = arr
     n = len(buf)
     expected, ip = read_varint(buf)
@@ -60,7 +68,7 @@ def scan_fragments_py(arr: np.ndarray):
         )
 
     while ip < n:
-        frag_end = frag_start + BLOCK_SIZE
+        frag_end = frag_start + BLOCK
         tag = int(buf[ip])
         ttype = tag & 3
         if ttype == 0:
@@ -86,19 +94,19 @@ def scan_fragments_py(arr: np.ndarray):
                 ip += hdr + length
             else:
                 take = frag_end - op
-                close(ip, ip + hdr, take, BLOCK_SIZE)
+                close(ip, ip + hdr, take, BLOCK)
                 src = ip + hdr + take
                 rem = length - take
-                while rem >= BLOCK_SIZE:
-                    lead_src, lead_len = src, BLOCK_SIZE
+                while rem >= BLOCK:
+                    lead_src, lead_len = src, BLOCK
                     tags_begin = ip + hdr + length
-                    close(tags_begin, 0, 0, BLOCK_SIZE)
-                    src += BLOCK_SIZE
-                    rem -= BLOCK_SIZE
-                    frag_start += BLOCK_SIZE
+                    close(tags_begin, 0, 0, BLOCK)
+                    src += BLOCK
+                    rem -= BLOCK
+                    frag_start += BLOCK
                 lead_src, lead_len = src, rem
                 tags_begin = ip + hdr + length
-                frag_start += BLOCK_SIZE
+                frag_start += BLOCK
                 op += length
                 ip += hdr + length
                 continue
@@ -129,8 +137,8 @@ def scan_fragments_py(arr: np.ndarray):
                 return None  # window crossing: host-serial decode
             op += length
             ip += hdr
-        if op == frag_start + BLOCK_SIZE and ip < n:
-            close(ip, 0, 0, BLOCK_SIZE)
+        if op == frag_start + BLOCK and ip < n:
+            close(ip, 0, 0, BLOCK)
             tags_begin = ip
             lead_src = lead_len = 0
             frag_start = op
@@ -141,14 +149,18 @@ def scan_fragments_py(arr: np.ndarray):
     return np.asarray(recs, np.int64).reshape(-1, 7)
 
 
-def scan_fragments(arr: np.ndarray):
-    """Native scan when available, Python walk otherwise."""
+def scan_fragments(arr: np.ndarray, fragment_size: int = BLOCK_SIZE):
+    """Native scan when available, Python walk otherwise. The native
+    scanner is hardwired to the production BLOCK_SIZE line; non-default
+    ``fragment_size`` (hermetic small-shape mesh tests) takes the
+    Python walk."""
     from snappier_tpu.runtime import native
 
-    lib = native.load()
-    if lib is not None and hasattr(lib, "stpu_scan_fragments"):
-        return native.scan_fragments(arr.tobytes())
-    return scan_fragments_py(arr)
+    if fragment_size == BLOCK_SIZE:
+        lib = native.load()
+        if lib is not None and hasattr(lib, "stpu_scan_fragments"):
+            return native.scan_fragments(arr.tobytes())
+    return scan_fragments_py(arr, fragment_size)
 
 
 def _literal_tag(length: int) -> bytes:

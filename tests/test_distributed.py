@@ -134,3 +134,31 @@ def test_multi_process_sharded_compress(
 
     data = dist_worker.corpus(n_blocks)
     assert oracle.decompress(combined.tobytes()) == data
+
+    # Decode twin (round-5 verdict item 2): the workers also ran
+    # decompress_corpus_sharded on a shared variable-length stream.
+    # Their local-fragment sets must partition the batch and the union
+    # of partial plaintexts must be bit-exact.
+    sdata, _ = dist_worker.stream_case(3 * nprocs + 2)
+    plains = [
+        np.frombuffer((tmp_path / f"plain_{pid}.bin").read_bytes(), np.uint8)
+        for pid in range(nprocs)
+    ]
+    for m in metas[1:]:
+        assert m["fragment_lengths"] == metas[0]["fragment_lengths"]
+        assert m["fragment_offsets"] == metas[0]["fragment_offsets"]
+    nfr = len(metas[0]["fragment_lengths"])
+    union = set()
+    for m in metas:
+        lf = set(m["local_fragments"])
+        assert lf, "a process decoded no fragments"
+        assert union.isdisjoint(lf)
+        union |= lf
+    assert union == set(range(nfr))
+    combined_plain = plains[0].copy()
+    for m, p in zip(metas[1:], plains[1:]):
+        for i in m["local_fragments"]:
+            o = m["fragment_offsets"][i]
+            ln = m["fragment_lengths"][i]
+            combined_plain[o : o + ln] = p[o : o + ln]
+    assert combined_plain.tobytes() == sdata

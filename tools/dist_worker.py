@@ -33,6 +33,31 @@ def corpus(n_blocks: int) -> bytes:
     return arr.tobytes()
 
 
+def stream_case(n_frags: int, frag: int = 2048) -> tuple[bytes, bytes]:
+    """Deterministic variable-length block stream whose copy offsets
+    stay within ``frag``-sized output lines (each chunk compressed
+    standalone, bodies concatenated under one global preamble), plus
+    its plaintext. Every process builds the identical pair."""
+    from snappier_tpu.format import oracle
+    from snappier_tpu.format.varint import read_varint, write_varint
+
+    rng = np.random.default_rng(4321)
+    chunks = []
+    for i in range(n_frags):
+        text = (f"distributed decode fragment {i:05d} ".encode() * 80)[:frag]
+        arr = np.frombuffer(text, np.uint8).copy()
+        arr[:48] = rng.integers(0, 256, 48)
+        chunks.append(arr.tobytes())
+    chunks[-1] = chunks[-1][: frag // 4]  # ragged tail
+    data = b"".join(chunks)
+    parts = [write_varint(len(data))]
+    for c in chunks:
+        body = oracle.compress(np.frombuffer(c, np.uint8))
+        _, off = read_varint(np.frombuffer(body, np.uint8))
+        parts.append(body[off:])
+    return data, b"".join(parts)
+
+
 def main() -> None:
     coordinator, num, pid, outdir = sys.argv[1:5]
     n_blocks = int(sys.argv[5]) if len(sys.argv) > 5 else 8
@@ -49,8 +74,17 @@ def main() -> None:
     assert jax.process_count() == int(num)
     data = corpus(n_blocks)
     payload, meta = distributed.compress_corpus_sharded(data)
+    # Decode twin: sharded decompress of a variable-length stream every
+    # process holds in full; each writes only its addressable
+    # fragments' bytes (plus the replicated assembly map).
+    sdata, scomp = stream_case(3 * int(num) + 2)
+    plain, dmeta = distributed.decompress_corpus_sharded(
+        scomp, fragment_size=2048
+    )
+    assert len(plain) == len(sdata)
     out = pathlib.Path(outdir)
     (out / f"payload_{pid}.bin").write_bytes(payload)
+    (out / f"plain_{pid}.bin").write_bytes(plain)
     (out / f"meta_{pid}.json").write_text(
         json.dumps(
             {
@@ -58,6 +92,13 @@ def main() -> None:
                 "block_lengths": [int(x) for x in meta["block_lengths"]],
                 "block_offsets": [int(x) for x in meta["block_offsets"]],
                 "local_blocks": meta["local_blocks"],
+                "fragment_lengths": [
+                    int(x) for x in dmeta["fragment_lengths"]
+                ],
+                "fragment_offsets": [
+                    int(x) for x in dmeta["fragment_offsets"]
+                ],
+                "local_fragments": dmeta["local_fragments"],
                 "process_count": jax.process_count(),
                 "local_device_count": jax.local_device_count(),
             }
