@@ -619,7 +619,13 @@ int stpu_stream_decompress(const uint8_t* input, size_t n, uint8_t* out,
       seen_header = true;
       continue;
     }
-    if (type == 0xfe || type >= 0x80) continue;  // padding / skippable
+    if (type == 0xfe || type >= 0x80) {  // padding / skippable
+      // The stream must START with the identifier chunk (framing spec;
+      // parity with the Python machine, which rejects any pre-header
+      // chunk — found by the framing mutation-parity sweep).
+      if (!seen_header) return STPU_INVALID_DATA;
+      continue;
+    }
     if (type > 0x01) return STPU_INVALID_DATA;   // unknown unskippable
     if (!seen_header) return STPU_INVALID_DATA;
     if (plen < 4) return STPU_INVALID_DATA;  // shorter than its CRC
