@@ -110,6 +110,27 @@ def main() -> None:
         )
         add("DecompressAll (11 files)", total_in, t)
 
+        # level="best" throughput (round-5 verdict item 8: density was
+        # pinned corpus-wide by tests/test_best_level.py, speed was not
+        # published anywhere user-visible). Device engine only.
+        try:
+            bcomp = st.compress(html64, engine="tpu", level="best")
+            t = timeit(
+                lambda: st.compress(html64, engine="tpu", level="best"),
+                min_time=0.5,
+                max_iters=20,
+            )
+            add(
+                "BlockCompress64KbHtml level=best",
+                len(html64),
+                t,
+                f"ratio {len(bcomp)/len(html64):.3f}",
+            )
+        except Exception as e:  # no device / interpret-only env
+            rows.append(
+                ("BlockCompress64KbHtml level=best", "n/a", str(e)[:40])
+            )
+
     blob = np.random.default_rng(0).integers(0, 256, 65536, np.uint8).tobytes()
     add("Crc32C 64KiB (GF2 host)", len(blob), timeit(lambda: crc32c(blob)))
     if native.available():

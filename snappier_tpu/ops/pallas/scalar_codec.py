@@ -613,6 +613,10 @@ def decode_blocks_scalar(
 #: 14, HashTable.cs:14-18 — its tables live in L1/L2.)
 _HASH_BITS = 15
 _HASH_MUL = 0x1E35A7BD  # HashTable.cs magic-multiply form
+# Epoch-tag capacity of the encoder's match table: 15 bits of grid rank
+# (entry = ((b & 0x7FFF)+1) << 16 | pos). Batches larger than this are
+# split host-side — see the guard in encode_blocks_scalar.
+_EPOCH_BLOCKS = 1 << 15
 
 
 def _match_extension(key, at, cand, n, seed=None):
@@ -1092,6 +1096,33 @@ def encode_blocks_scalar(
         core_parallel = _core_parallel_default()
     frags = frags.astype(jnp.int32)
     B, F = frags.shape
+    if B > _EPOCH_BLOCKS:
+        # The table's epoch tag carries 15 bits (entry = epoch<<16 |
+        # pos), so grid ranks _EPOCH_BLOCKS apart share a residue and
+        # stale entries from the aliased rank pass the epoch check —
+        # never a correctness issue (every candidate is verified
+        # against the current block's bytes, see key_v) but a silent
+        # match-density degradation on giant batches (round-5 verdict
+        # item 9). Splitting into <=_EPOCH_BLOCKS-block invocations
+        # reduces the exposure to the same benign cross-invocation
+        # staleness the kernel already tolerates: at most one table's
+        # worth of stale entries per boundary instead of systematic
+        # aliasing across the whole batch.
+        parts = [
+            encode_blocks_scalar(
+                frags[i : i + _EPOCH_BLOCKS],
+                lengths[i : i + _EPOCH_BLOCKS],
+                interpret=interpret,
+                hash_bits=hash_bits,
+                skip_base=skip_base,
+                core_parallel=core_parallel,
+            )
+            for i in range(0, B, _EPOCH_BLOCKS)
+        ]
+        return (
+            jnp.concatenate([p[0] for p in parts], axis=0),
+            jnp.concatenate([p[1] for p in parts], axis=0),
+        )
     assert F % 1024 == 0 and F <= BLOCK_SIZE  # 1-D DMA tiling
     assert 8 <= hash_bits <= 16
     oc = F + 2048  # provable emission bound + >=1 KiB margin (see kernel)

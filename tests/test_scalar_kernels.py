@@ -302,3 +302,41 @@ def test_scalar_decode_unroll_variants_agree():
         else:
             for a, b in zip(ref, got):
                 assert (a == b).all(), unroll
+
+
+def test_encoder_epoch_split_guard(monkeypatch):
+    """B > _EPOCH_BLOCKS splits into sub-invocations whose outputs are
+    identical to the unsplit call (round-5 verdict item 9: epoch-tag
+    residues alias grid ranks 32768 apart — the guard bounds it to the
+    tolerated cross-invocation staleness class). Exercised with a tiny
+    patched threshold; the split path must be bit-identical here since
+    interpreter-mode scratch starts zeroed per invocation."""
+    import snappier_tpu.ops.pallas.scalar_codec as sc
+
+    rng = np.random.default_rng(11)
+    B = 6
+    frags = rng.integers(0, 256, (B, F), dtype=np.int32)
+    frags[:, F // 2 :] = frags[:, : F // 2]  # some matches
+    lens = np.full(B, F, np.int32)
+
+    ref_bodies, ref_lens = sc.encode_blocks_scalar(
+        jnp.asarray(frags), jnp.asarray(lens), interpret=True
+    )
+    monkeypatch.setattr(sc, "_EPOCH_BLOCKS", 2)
+    got_bodies, got_lens = sc.encode_blocks_scalar(
+        jnp.asarray(frags), jnp.asarray(lens), interpret=True
+    )
+    assert (np.asarray(got_lens) == np.asarray(ref_lens)).all()
+    assert (np.asarray(got_bodies) == np.asarray(ref_bodies)).all()
+    # And each split body still decodes bit-exactly on the oracle.
+    from snappier_tpu.format import oracle
+    from snappier_tpu.format.varint import write_varint
+
+    gb = np.asarray(got_bodies)
+    for i in range(B):
+        comp = write_varint(F) + gb[i, : int(got_lens[i])].astype(
+            np.uint8
+        ).tobytes()
+        assert oracle.decompress(comp) == frags[i].astype(
+            np.uint8
+        ).tobytes()
