@@ -429,6 +429,11 @@ def _decode_kernel(keys_ref, lut_ref, lm_ref, om_ref, lens_ref, out_ref,
         def _():
             append_lit(ip + hdr, op, length)
 
+        # Round-5 ablation (REJECTED, tools/perf_r5 A/B on chip): a
+        # word-aligned (off % 4 == 0) no-funnel copy fast path measured
+        # 432.1 vs 400.5 us/block — the per-copy alignment branch and
+        # the duplicated pl.when body cost more than the funnel
+        # arithmetic they remove (same class as r4's pipe2unc2).
         @pl.when(ok & ~is_lit & (off >= 8))
         def _():
             append_stream(op - off, op, length)
@@ -660,9 +665,27 @@ def _match_extension(key, at, cand, n, seed=None):
         m, go, _ = st
         return go & (at + m + 8 <= n)
 
-    m, go, eq0l = jax.lax.while_loop(
-        ext_cond, ext_body, (jnp.int32(4), True, True)
-    )
+    # Round-5 inline warmup: the first stride-8 group runs as
+    # straight-line code, so the while_loop is entered only for
+    # matches that extend past 12 bytes — every hit saves one backedge
+    # (~15 cycles) and short matches skip the data-dependent loop
+    # entry entirely (~20 ns cliff, docs/PERF_BUDGET.md). The
+    # constructed start state is exactly the original loop's state
+    # after its first iteration (or its untouched initial state when
+    # the bounds exit fires before iteration 1), so returned lengths
+    # and seed positions are bit-identical to the pre-r5 walk.
+    has12 = at + 12 <= n
+    if seed is not None:
+        @pl.when(has12)
+        def _():
+            seed(at + 4)
+
+    eq0w = key(at + 4) == key(cand + 4)  # overreads land in key slack
+    eq1w = key(at + 8) == key(cand + 8)
+    m0 = jnp.where(has12, 12, 4)
+    go0 = jnp.where(has12, eq0w & eq1w, True)
+    eq0l0 = jnp.where(has12, eq0w, True)
+    m, go, eq0l = jax.lax.while_loop(ext_cond, ext_body, (m0, go0, eq0l0))
     # Mismatch exit: back up to the first failing group (the carried
     # eq0 says which of the pair failed). Bounds exit: at most one
     # stride-4 group remains before the tail.
