@@ -24,13 +24,16 @@ from snappier_tpu.errors import (  # noqa: F401
 from snappier_tpu.runtime.block import (  # noqa: F401
     compress,
     compress_into,
+    compress_to_memory,
     decompress,
     decompress_into,
+    decompress_to_memory,
     get_max_compressed_length,
     get_uncompressed_length,
     try_compress,
     try_decompress,
 )
+from snappier_tpu.utils.pool import PooledMemory  # noqa: F401
 
 from snappier_tpu.runtime.stream import (  # noqa: F401
     AsyncSnappyReader,

@@ -798,6 +798,44 @@ def _decompress_into_checked(arr: np.ndarray, out, engine: str) -> int:
     return pos
 
 
+def compress_to_memory(data, engine: str = "auto"):
+    """Compress into a pooled buffer the caller can hand back.
+    Parity: ``Snappy.CompressToMemory`` (Snappy.cs:99-121) — the
+    returned :class:`~snappier_tpu.utils.pool.PooledMemory` owns a
+    pool-rented buffer sliced to the result; ``release()`` (or the
+    context manager) returns it, zeroized, to the pool."""
+    from snappier_tpu.utils.pool import PooledMemory, default_pool
+
+    arr = _as_u8(data)
+    cap = 1 << max(10, (max_compressed_length(len(arr)) - 1).bit_length())
+    buf = default_pool.rent(cap, np.uint8)
+    try:
+        n = _compress_into_checked(arr, buf, engine)
+    except BaseException:
+        default_pool.giveback(buf)
+        raise
+    return PooledMemory(buf, n, default_pool)
+
+
+def decompress_to_memory(data, engine: str = "auto"):
+    """Decompress into a pooled buffer the caller can hand back.
+    Parity: ``Snappy.DecompressToMemory`` (Snappy.cs:223-271)."""
+    from snappier_tpu.utils.pool import PooledMemory, default_pool
+
+    arr = _as_u8(data)
+    expected = get_uncompressed_length(arr)
+    if expected > plausible_uncompressed_bound(len(arr)):
+        raise InvalidDataError("length preamble exceeds possible expansion")
+    cap = 1 << max(10, (max(expected, 1) - 1).bit_length())
+    buf = default_pool.rent(cap, np.uint8)
+    try:
+        n = _decompress_into_checked(arr, buf, engine)
+    except BaseException:
+        default_pool.giveback(buf)
+        raise
+    return PooledMemory(buf, n, default_pool)
+
+
 def decompress_into(data, out, engine: str = "auto") -> int:
     """Decompress into a caller buffer; returns bytes written.
     Parity: ``Snappy.Decompress(input, output)`` (Snappy.cs:153)."""

@@ -53,5 +53,53 @@ class BufferPool:
             self._buffers.clear()
 
 
+class PooledMemory:
+    """Releasable pooled result buffer — the public analog of the
+    reference's ``IMemoryOwner<byte>`` returned by
+    ``Snappy.CompressToMemory``/``DecompressToMemory``
+    (ByteArrayPoolMemoryOwner.cs:33-55): the caller reads ``memory``
+    (a writable memoryview of exactly the result bytes) and hands the
+    backing buffer back to the pool with :meth:`release` (or by
+    exiting the context manager). Parity details: the view is
+    zeroized on release, matching the reference's clear-on-dispose
+    (:42), and access after release raises, matching its disposed
+    ``Memory`` getter (:37-40)."""
+
+    __slots__ = ("_buf", "_len", "_pool")
+
+    def __init__(self, buf: np.ndarray, length: int, pool: BufferPool):
+        self._buf = buf
+        self._len = length
+        self._pool = pool
+
+    @property
+    def memory(self) -> memoryview:
+        if self._buf is None:
+            from snappier_tpu.errors import InvalidOperationError
+
+            raise InvalidOperationError("pooled memory already released")
+        return memoryview(self._buf)[: self._len]
+
+    def __len__(self) -> int:
+        return self._len
+
+    def __bytes__(self) -> bytes:
+        return bytes(self.memory)
+
+    def release(self) -> None:
+        """Zeroize the result bytes and return the buffer to the pool
+        (idempotent)."""
+        if self._buf is not None:
+            self._buf[: self._len] = 0
+            self._pool.giveback(self._buf)
+            self._buf = None
+
+    def __enter__(self) -> "PooledMemory":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()
+
+
 #: Process-wide default pool used by the runtime staging paths.
 default_pool = BufferPool()
