@@ -13,6 +13,10 @@
 #include <cstdint>
 #include <cstring>
 #include <cstddef>
+#include <atomic>
+#include <thread>
+#include <vector>
+#include <unistd.h>
 
 namespace {
 
@@ -652,6 +656,205 @@ int stpu_stream_decompress(const uint8_t* input, size_t n, uint8_t* out,
       return STPU_INVALID_DATA;
     op += produced;
   }
+  *out_len = op;
+  return STPU_OK;
+}
+
+// ---------------------------------------------------------------------------
+// Multithreaded framed-stream codec. The framing format's data chunks
+// are independent (the SURVEY §2.4 independence structure the TPU
+// batch path exploits), so the host pipeline parallelizes the same
+// way: compress scatters fixed 64 KiB input chunks across a thread
+// pool into worst-case output slots and compacts in-place (forward
+// memmove, dst <= src always); decompress walks chunk headers
+// serially (cheap), assigns each data chunk its exact output range
+// from the cumulative expected lengths, and decodes + CRC-verifies
+// chunks in parallel — byte-precise decode (out_cap == expected) so
+// adjacent workers' ranges never overlap. Output bytes are identical
+// to the single-threaded pipeline in both directions (chunking is
+// deterministic). The reference is single-threaded by design
+// (SnappyStream.cs:611-637 forbids even concurrent async ops); this
+// is the framework's host-side scale-up, not a ported behavior.
+
+static unsigned resolve_threads(int threads, size_t work_items) {
+  unsigned t;
+  if (threads > 0) {
+    t = static_cast<unsigned>(threads);
+  } else {
+    t = std::thread::hardware_concurrency();
+    if (t == 0) {  // containers often report "not computable"
+      long n = sysconf(_SC_NPROCESSORS_ONLN);
+      t = n > 0 ? static_cast<unsigned>(n) : 1;
+    }
+  }
+  if (t < 1) t = 1;
+  if (t > work_items) t = static_cast<unsigned>(work_items);
+  if (t > 64) t = 64;
+  return t;
+}
+
+int stpu_stream_compress_mt(const uint8_t* input, size_t n, uint8_t* out,
+                            size_t out_cap, size_t* out_len, int threads) {
+  if (out_cap < stpu_stream_max_compressed_length(n))
+    return STPU_BUFFER_TOO_SMALL;
+  size_t nchunks = n / kBlockSize + (n % kBlockSize || n == 0 ? 1 : 0);
+  if (n == 0) nchunks = 0;
+  const size_t W = 8 + stpu_max_compressed_length(kBlockSize);  // slot
+  unsigned nt = resolve_threads(threads, nchunks ? nchunks : 1);
+  std::memcpy(out, kStreamHeader, 10);
+  if (nchunks == 0) {
+    *out_len = 10;
+    return STPU_OK;
+  }
+  std::vector<size_t> sizes(nchunks, 0);
+  std::atomic<size_t> next{0};
+
+  auto worker = [&]() {
+    // Per-thread match table (64 KiB) lives on this worker's stack.
+    std::vector<uint16_t> table(size_t{1} << kMaxHashBits);
+    for (;;) {
+      size_t i = next.fetch_add(1);
+      if (i >= nchunks) return;
+      size_t start = i * kBlockSize;
+      size_t chunk = n - start < kBlockSize ? n - start : kBlockSize;
+      const uint8_t* src = input + start;
+      uint8_t* op = out + 10 + i * W;
+      uint32_t crc = mask_crc32c(stpu_crc32c(src, chunk, 0));
+      uint8_t* body = op + 8;
+      uint8_t* bp =
+          body + write_varint32(body, static_cast<uint32_t>(chunk));
+      bp = compress_fragment(src, chunk, bp, table.data());
+      size_t comp_len = static_cast<size_t>(bp - body);
+      uint8_t type;
+      size_t payload;
+      if (comp_len < chunk) {
+        type = 0x00;
+        payload = comp_len;
+      } else {
+        type = 0x01;
+        payload = chunk;
+        std::memcpy(body, src, chunk);
+      }
+      op[0] = type;
+      op[1] = static_cast<uint8_t>((payload + 4) & 0xff);
+      op[2] = static_cast<uint8_t>(((payload + 4) >> 8) & 0xff);
+      op[3] = static_cast<uint8_t>(((payload + 4) >> 16) & 0xff);
+      op[4] = static_cast<uint8_t>(crc & 0xff);
+      op[5] = static_cast<uint8_t>((crc >> 8) & 0xff);
+      op[6] = static_cast<uint8_t>((crc >> 16) & 0xff);
+      op[7] = static_cast<uint8_t>((crc >> 24) & 0xff);
+      sizes[i] = 8 + payload;
+    }
+  };
+  std::vector<std::thread> pool;
+  for (unsigned t = 1; t < nt; ++t) pool.emplace_back(worker);
+  worker();
+  for (auto& th : pool) th.join();
+
+  // In-place forward compaction: chunk i moves from its slot to the
+  // running offset; dst <= src because every earlier chunk shrank.
+  size_t pos = 10;
+  for (size_t i = 0; i < nchunks; ++i) {
+    uint8_t* src = out + 10 + i * W;
+    if (out + pos != src) std::memmove(out + pos, src, sizes[i]);
+    pos += sizes[i];
+  }
+  *out_len = pos;
+  return STPU_OK;
+}
+
+int stpu_stream_decompress_mt(const uint8_t* input, size_t n, uint8_t* out,
+                              size_t out_cap, size_t* out_len,
+                              int threads) {
+  // Pass 1 (serial, headers only): validate framing, index data
+  // chunks, assign exact output ranges. Mirrors the verdict rules of
+  // stpu_stream_decompress exactly.
+  struct Rec {
+    size_t payload_off, payload_len, out_off, expected;
+    uint8_t type;
+  };
+  std::vector<Rec> recs;
+  size_t ip = 0, op = 0;
+  bool seen_header = false;
+  while (ip < n) {
+    if (ip + 4 > n) return STPU_INVALID_DATA;
+    uint8_t type = input[ip];
+    size_t plen = load24(input + ip + 1);
+    if (ip + 4 + plen > n) return STPU_INVALID_DATA;
+    const uint8_t* payload = input + ip + 4;
+    size_t payload_off = ip + 4;
+    ip += 4 + plen;
+    if (type == 0xff) {
+      if (plen != 6 || std::memcmp(payload, kStreamHeader + 4, 6) != 0)
+        return STPU_INVALID_DATA;
+      seen_header = true;
+      continue;
+    }
+    if (type == 0xfe || type >= 0x80) {
+      if (!seen_header) return STPU_INVALID_DATA;
+      continue;
+    }
+    if (type > 0x01) return STPU_INVALID_DATA;
+    if (!seen_header) return STPU_INVALID_DATA;
+    if (plen < 4) return STPU_INVALID_DATA;
+    size_t body_len = plen - 4;
+    size_t expected;
+    if (type == 0x00) {
+      uint64_t e = 0;
+      if (stpu_uncompressed_length(payload + 4, body_len, &e) != STPU_OK ||
+          e > kBlockSize)
+        return STPU_INVALID_DATA;
+      expected = static_cast<size_t>(e);
+    } else {
+      if (body_len > kBlockSize) return STPU_INVALID_DATA;
+      expected = body_len;
+    }
+    if (op + expected > out_cap) return STPU_BUFFER_TOO_SMALL;
+    recs.push_back({payload_off, plen, op, expected, type});
+    op += expected;
+  }
+  // Pass 2 (parallel): decode + CRC-verify each data chunk into its
+  // exact range (byte-precise decode: out_cap == expected, so no
+  // worker writes into a neighbor's range).
+  std::atomic<size_t> next{0};
+  std::atomic<int> rc{STPU_OK};
+  unsigned nt = resolve_threads(threads, recs.empty() ? 1 : recs.size());
+  auto worker = [&]() {
+    for (;;) {
+      size_t i = next.fetch_add(1);
+      if (i >= recs.size() || rc.load(std::memory_order_relaxed) != STPU_OK)
+        return;
+      const Rec& r = recs[i];
+      const uint8_t* payload = input + r.payload_off;
+      uint32_t want_crc = load32(payload);
+      const uint8_t* body = payload + 4;
+      size_t body_len = r.payload_len - 4;
+      size_t produced = 0;
+      if (r.type == 0x00) {
+        size_t dlen = 0;
+        int c = stpu_decompress(body, body_len, out + r.out_off,
+                                r.expected, &dlen);
+        if (c != STPU_OK || dlen != r.expected) {
+          rc.store(c == STPU_OK ? STPU_INVALID_DATA : c);
+          return;
+        }
+        produced = dlen;
+      } else {
+        std::memcpy(out + r.out_off, body, r.expected);
+        produced = r.expected;
+      }
+      if (mask_crc32c(stpu_crc32c(out + r.out_off, produced, 0)) !=
+          want_crc) {
+        rc.store(STPU_INVALID_DATA);
+        return;
+      }
+    }
+  };
+  std::vector<std::thread> pool;
+  for (unsigned t = 1; t < nt; ++t) pool.emplace_back(worker);
+  worker();
+  for (auto& th : pool) th.join();
+  if (rc.load() != STPU_OK) return rc.load();
   *out_len = op;
   return STPU_OK;
 }

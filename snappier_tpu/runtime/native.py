@@ -139,6 +139,19 @@ def load():
                 ctypes.c_size_t,
                 ctypes.POINTER(ctypes.c_size_t),
             ]
+        for name in ("stpu_stream_compress_mt", "stpu_stream_decompress_mt"):
+            if not hasattr(lib, name):
+                continue
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_int
+            fn.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_size_t),
+                ctypes.c_int,
+            ]
         lib.stpu_stream_max_compressed_length.restype = ctypes.c_size_t
         lib.stpu_stream_max_compressed_length.argtypes = [ctypes.c_size_t]
         lib.stpu_stream_uncompressed_length.restype = ctypes.c_int
@@ -464,10 +477,16 @@ def get_uncompressed_length(data: bytes) -> int:
     return val.value
 
 
-def stream_compress(data: bytes) -> bytes:
+def stream_compress(data: bytes, threads: int = 0) -> bytes:
     """One-shot framing-format compress in the C++ runtime (chunking,
     CRC32C, headers, uncompressed fallback — the host IO pipeline
-    behind the Python facade's one-shot path)."""
+    behind the Python facade's one-shot path).
+
+    ``threads``: 0 = one worker per hardware thread (capped at the
+    chunk count, so small inputs never spawn), 1 = the serial
+    pipeline, N = exactly N workers. Output bytes are identical at
+    every thread count (chunking is deterministic; per-chunk output
+    depends only on that chunk)."""
     lib = load()
     if lib is None:
         raise RuntimeError("native runtime unavailable")
@@ -475,16 +494,24 @@ def stream_compress(data: bytes) -> bytes:
     cap = lib.stpu_stream_max_compressed_length(len(data))
     arr, out = _out_buffer(cap)
     out_len = ctypes.c_size_t()
-    rc = lib.stpu_stream_compress(
-        data, len(data), out, cap, ctypes.byref(out_len)
-    )
+    if threads != 1 and hasattr(lib, "stpu_stream_compress_mt"):
+        rc = lib.stpu_stream_compress_mt(
+            data, len(data), out, cap, ctypes.byref(out_len), threads
+        )
+    else:
+        rc = lib.stpu_stream_compress(
+            data, len(data), out, cap, ctypes.byref(out_len)
+        )
     if rc != _OK:
         raise InvalidDataError(f"native stream compress failed rc={rc}")
     return arr[: out_len.value].tobytes()
 
 
-def stream_decompress(data: bytes) -> bytes:
-    """One-shot framing-format decompress with full CRC verification."""
+def stream_decompress(data: bytes, threads: int = 0) -> bytes:
+    """One-shot framing-format decompress with full CRC verification.
+    ``threads`` as in :func:`stream_compress`; data chunks decode in
+    parallel into their exact output ranges (byte-precise decoder),
+    verdicts identical to the serial pipeline."""
     lib = load()
     if lib is None:
         raise RuntimeError("native runtime unavailable")
@@ -497,9 +524,15 @@ def stream_decompress(data: bytes) -> bytes:
         raise InvalidDataError("malformed framed stream")
     arr, out = _out_buffer(total.value + 64)  # sloppy-copy slack
     out_len = ctypes.c_size_t()
-    rc = lib.stpu_stream_decompress(
-        data, len(data), out, total.value + 64, ctypes.byref(out_len)
-    )
+    if threads != 1 and hasattr(lib, "stpu_stream_decompress_mt"):
+        rc = lib.stpu_stream_decompress_mt(
+            data, len(data), out, total.value + 64,
+            ctypes.byref(out_len), threads,
+        )
+    else:
+        rc = lib.stpu_stream_decompress(
+            data, len(data), out, total.value + 64, ctypes.byref(out_len)
+        )
     if rc == _INVALID:
         raise InvalidDataError("corrupt framed stream")
     if rc != _OK:

@@ -160,3 +160,63 @@ def test_native_stream_sizing_rejects_huge_claims():
     chunk = bytes([0x01]) + len(payload).to_bytes(3, "little") + payload
     with pytest.raises(InvalidDataError):
         native.stream_decompress(hdr + chunk)
+
+
+def test_stream_mt_parity_and_roundtrip():
+    """Multithreaded framed-stream pipeline (round-5): output bytes
+    must be IDENTICAL to the serial pipeline at every thread count
+    (deterministic 64 KiB chunking; per-chunk output depends only on
+    that chunk), and round trips must hold across thread counts,
+    including the empty stream, sub-chunk inputs, exact-multiple
+    sizes, and incompressible (uncompressed-fallback) chunks."""
+    import numpy as np
+
+    from snappier_tpu.runtime import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native runtime unavailable")
+    from tests.conftest import load_corpus_file
+
+    rng = np.random.default_rng(77)
+    cases = [
+        b"",
+        b"x",
+        load_corpus_file("html")[:200_000],
+        (load_corpus_file("html") * 3)[: 4 * 65536],  # exact multiple
+        rng.integers(0, 256, 300_000, np.uint8).tobytes(),  # fallback
+    ]
+    for data in cases:
+        serial = native.stream_compress(data, threads=1)
+        for thr in (0, 2, 3):
+            assert native.stream_compress(data, threads=thr) == serial
+            assert native.stream_decompress(serial, threads=thr) == data
+
+
+def test_stream_mt_corrupt_verdict_parity():
+    """MT decode must reject exactly what the serial pipeline rejects
+    (flipped CRC, truncated tail, pre-header chunk, unknown
+    unskippable)."""
+    import pytest
+
+    from snappier_tpu.errors import InvalidDataError
+    from snappier_tpu.runtime import native
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    from tests.conftest import load_corpus_file
+
+    base = native.stream_compress(
+        load_corpus_file("html")[:200_000], threads=1
+    )
+    mutants = [
+        base[:14] + bytes([base[14] ^ 0xFF]) + base[15:],  # CRC flip
+        base[:-3],  # truncated tail
+        bytes([0xFE, 0, 0, 0]) + base,  # chunk before the identifier
+        base[:10] + bytes([0x42, 1, 0, 0, 0]) + base[10:],  # unskippable
+    ]
+    for i, mb in enumerate(mutants):
+        for thr in (1, 0):
+            with pytest.raises(InvalidDataError):
+                native.stream_decompress(mb, threads=thr)

@@ -192,6 +192,17 @@ def _v_native(mb: bytes):
         return False, b""
 
 
+def _v_native_mt(mb: bytes):
+    """The multithreaded C++ pipeline — an independent header walk +
+    parallel chunk decode whose verdicts must match the serial one."""
+    from snappier_tpu.runtime import native
+
+    try:
+        return True, native.stream_decompress(mb, threads=2)
+    except (SnappyError, InvalidDataError):
+        return False, b""
+
+
 def _parity_failures(
     mutants, include_native: bool, min_accepted: int = 20
 ) -> list[str]:
@@ -214,6 +225,11 @@ def _parity_failures(
             if nok != ok or (ok and nbody != body):
                 fails.append(
                     f"mutant {i}: native verdict ({nok}) != python ({ok})"
+                )
+            mok, mbody = _v_native_mt(mb)
+            if mok != ok or (ok and mbody != body):
+                fails.append(
+                    f"mutant {i}: native-MT verdict ({mok}) != python ({ok})"
                 )
     assert accepted >= min_accepted, (
         f"sweep degenerate: only {accepted} accepted"
@@ -249,7 +265,7 @@ def test_framing_parity_comparator_has_teeth(monkeypatch):
     assert not _v_oneshot(mutant)[0]  # healthy machines reject
 
     monkeypatch.setattr(
-        native_rt, "stream_decompress", lambda mb: data
+        native_rt, "stream_decompress", lambda mb, threads=0: data
     )  # planted bug: decodes without verifying the chunk CRC
     fails = _parity_failures(
         [mutant], include_native=True, min_accepted=0
