@@ -706,12 +706,27 @@ int stpu_stream_compress_mt(const uint8_t* input, size_t n, uint8_t* out,
     *out_len = 10;
     return STPU_OK;
   }
-  std::vector<size_t> sizes(nchunks, 0);
+  // Every allocation that can throw happens HERE, on the calling
+  // thread, before any worker exists: an exception escaping a C++
+  // thread (or this extern-C boundary) would std::terminate the host
+  // process. Spawn failure or bad_alloc falls back to the serial
+  // pipeline, which allocates nothing.
+  std::vector<size_t> sizes;
+  std::vector<std::vector<uint16_t>> tables;  // one match table per worker
+  std::vector<std::thread> pool;
   std::atomic<size_t> next{0};
+  try {
+    sizes.assign(nchunks, 0);
+    tables.resize(nt);
+    for (unsigned t = 0; t < nt; ++t)
+      tables[t].resize(size_t{1} << kMaxHashBits);
+    pool.reserve(nt - 1);
+  } catch (...) {
+    return stpu_stream_compress(input, n, out, out_cap, out_len);
+  }
 
-  auto worker = [&]() {
-    // Per-thread match table (64 KiB) lives on this worker's stack.
-    std::vector<uint16_t> table(size_t{1} << kMaxHashBits);
+  auto worker = [&](unsigned wid) {
+    uint16_t* table = tables[wid].data();
     for (;;) {
       size_t i = next.fetch_add(1);
       if (i >= nchunks) return;
@@ -723,7 +738,7 @@ int stpu_stream_compress_mt(const uint8_t* input, size_t n, uint8_t* out,
       uint8_t* body = op + 8;
       uint8_t* bp =
           body + write_varint32(body, static_cast<uint32_t>(chunk));
-      bp = compress_fragment(src, chunk, bp, table.data());
+      bp = compress_fragment(src, chunk, bp, table);
       size_t comp_len = static_cast<size_t>(bp - body);
       uint8_t type;
       size_t payload;
@@ -746,9 +761,13 @@ int stpu_stream_compress_mt(const uint8_t* input, size_t n, uint8_t* out,
       sizes[i] = 8 + payload;
     }
   };
-  std::vector<std::thread> pool;
-  for (unsigned t = 1; t < nt; ++t) pool.emplace_back(worker);
-  worker();
+  // Spawn failure mid-loop is benign: already-running workers drain
+  // the shared atomic queue, so proceeding with fewer is correct.
+  try {
+    for (unsigned t = 1; t < nt; ++t) pool.emplace_back(worker, t);
+  } catch (...) {
+  }
+  worker(0);
   for (auto& th : pool) th.join();
 
   // In-place forward compaction: chunk i moves from its slot to the
@@ -810,12 +829,19 @@ int stpu_stream_decompress_mt(const uint8_t* input, size_t n, uint8_t* out,
       expected = body_len;
     }
     if (op + expected > out_cap) return STPU_BUFFER_TOO_SMALL;
-    recs.push_back({payload_off, plen, op, expected, type});
+    try {
+      recs.push_back({payload_off, plen, op, expected, type});
+    } catch (...) {  // bad_alloc on the index: serial pipeline needs none
+      return stpu_stream_decompress(input, n, out, out_cap, out_len);
+    }
     op += expected;
   }
   // Pass 2 (parallel): decode + CRC-verify each data chunk into its
   // exact range (byte-precise decode: out_cap == expected, so no
-  // worker writes into a neighbor's range).
+  // worker writes into a neighbor's range). Workers allocate nothing
+  // (exceptions in a C++ thread would std::terminate the process);
+  // spawn failure mid-loop is benign — running workers drain the
+  // shared atomic queue.
   std::atomic<size_t> next{0};
   std::atomic<int> rc{STPU_OK};
   unsigned nt = resolve_threads(threads, recs.empty() ? 1 : recs.size());
@@ -851,7 +877,11 @@ int stpu_stream_decompress_mt(const uint8_t* input, size_t n, uint8_t* out,
     }
   };
   std::vector<std::thread> pool;
-  for (unsigned t = 1; t < nt; ++t) pool.emplace_back(worker);
+  try {
+    pool.reserve(nt > 0 ? nt - 1 : 0);
+    for (unsigned t = 1; t < nt; ++t) pool.emplace_back(worker);
+  } catch (...) {
+  }
   worker();
   for (auto& th : pool) th.join();
   if (rc.load() != STPU_OK) return rc.load();

@@ -1087,7 +1087,9 @@ def _unpack_bodies(ow, oc):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("interpret", "hash_bits", "skip_base", "core_parallel"),
+    static_argnames=(
+        "interpret", "hash_bits", "skip_base", "core_parallel", "packed"
+    ),
 )
 def encode_blocks_scalar(
     frags,
@@ -1096,6 +1098,7 @@ def encode_blocks_scalar(
     hash_bits: int = _HASH_BITS,
     skip_base: int = 32,
     core_parallel: bool | None = None,
+    packed: bool = False,
 ):
     """Compress a batch of fragments on the TPU scalar core.
 
@@ -1111,7 +1114,11 @@ def encode_blocks_scalar(
 
     Returns: (bodies int32[B, F + 2048], body_lens int32[B]) — fragment
     tag streams without varint preambles (SnappyCompressor.cs:34-80
-    assembly is the caller's job).
+    assembly is the caller's job). With ``packed=True``, bodies come
+    back as the kernel's word-packed emission image int32[B, ocw]
+    (4 LE bytes per lane, DMA-tiled width) — the transfer-optimal form,
+    skipping the unpack/repack round trip entirely (round-5 review
+    finding; byte content is identical, garbage tails included).
     """
     if interpret is None:
         interpret = _interpret_default()
@@ -1139,6 +1146,7 @@ def encode_blocks_scalar(
                 hash_bits=hash_bits,
                 skip_base=skip_base,
                 core_parallel=core_parallel,
+                packed=packed,
             )
             for i in range(0, B, _EPOCH_BLOCKS)
         ]
@@ -1187,7 +1195,10 @@ def encode_blocks_scalar(
         compiler_params=_compiler_params(core_parallel),
         interpret=interpret,
     )(keys.reshape(-1), hashes.reshape(-1), lengths.astype(jnp.int32))
-    return _unpack_bodies(ow.reshape(B, ocw), oc), body_lens
+    ow = ow.reshape(B, ocw)
+    if packed:
+        return ow, body_lens
+    return _unpack_bodies(ow, oc), body_lens
 
 
 def encode_blocks_best(

@@ -128,25 +128,33 @@ def _encode_batch_fn(
     return fn
 
 
+def _packed_decode_inner(out_cap: int):
+    """The word-packed batched decoder both fetch strategies share
+    (one definition so the fused and two-phase paths cannot decode
+    differently — round-5 review finding)."""
+    if _device_kernel() == "scalar":
+        from snappier_tpu.ops.pallas.scalar_codec import decode_blocks_scalar
+
+        return functools.partial(
+            decode_blocks_scalar, out_cap=out_cap, packed=True
+        )
+    from snappier_tpu.models.codec import pack_rows
+
+    def inner(cs, ns):
+        outs, out_lens, errs = jax.lax.map(
+            lambda t: decode_block(t[0], t[1], out_cap=out_cap), (cs, ns)
+        )
+        return pack_rows(outs), out_lens, errs
+
+    return inner
+
+
 @functools.cache
 def _decode_batch_packed_fn(out_cap: int):
     """Like :func:`_decode_batch_fn` but returns word-packed int32
     outputs so the host fetch (after ragged compaction) moves the true
     payload size instead of the slot capacity."""
-    if _device_kernel() == "scalar":
-        from snappier_tpu.ops.pallas.scalar_codec import decode_blocks_scalar
-
-        inner = functools.partial(
-            decode_blocks_scalar, out_cap=out_cap, packed=True
-        )
-    else:
-        from snappier_tpu.models.codec import pack_rows
-
-        def inner(cs, ns):
-            outs, out_lens, errs = jax.lax.map(
-                lambda t: decode_block(t[0], t[1], out_cap=out_cap), (cs, ns)
-            )
-            return pack_rows(outs), out_lens, errs
+    inner = _packed_decode_inner(out_cap)
 
     @jax.jit
     def fn(cs, ns):
@@ -169,20 +177,7 @@ def _decode_compact_fn(out_cap: int, capw: int):
     lens-then-compact flow."""
     from snappier_tpu.models.codec import compact_words
 
-    if _device_kernel() == "scalar":
-        from snappier_tpu.ops.pallas.scalar_codec import decode_blocks_scalar
-
-        inner = functools.partial(
-            decode_blocks_scalar, out_cap=out_cap, packed=True
-        )
-    else:
-        from snappier_tpu.models.codec import pack_rows
-
-        def inner(cs, ns):
-            outs, out_lens, errs = jax.lax.map(
-                lambda t: decode_block(t[0], t[1], out_cap=out_cap), (cs, ns)
-            )
-            return pack_rows(outs), out_lens, errs
+    inner = _packed_decode_inner(out_cap)
 
     @jax.jit
     def fn(cs, ns):
@@ -271,12 +266,7 @@ def _fetch_ragged_packed(packed, lens_h: np.ndarray) -> list[np.ndarray]:
         flat = compact_words(
             packed, jnp.asarray(wlens_h, jnp.int32), cap_words=capw
         )
-        buf = np.asarray(flat[:total]).view(np.uint8)
-        offs = np.concatenate([[0], np.cumsum(wlens_h)]) * 4
-        return [
-            buf[int(offs[j]) : int(offs[j]) + int(lens_h[j])]
-            for j in range(len(lens_h))
-        ]
+        return _rows_from_flat(np.asarray(flat[:total]), lens_h)
     rows = np.asarray(packed).view(np.uint8)
     return [rows[j, : int(lens_h[j])] for j in range(len(lens_h))]
 
@@ -296,18 +286,33 @@ def _encode_compact_fn(hash_bits: int, skip_base: int, kernel: str, capw: int):
     from snappier_tpu.models.codec import compact_words, pack_rows
 
     if kernel == "scalar":
+        # The scalar kernel's emission image is already word-packed:
+        # take it directly instead of unpack + repack (round-5 review
+        # finding — two full-batch elementwise passes of wasted work).
         from snappier_tpu.ops.pallas.scalar_codec import encode_blocks_scalar
 
-        inner = functools.partial(
-            encode_blocks_scalar, hash_bits=hash_bits, skip_base=skip_base
+        inner_packed = functools.partial(
+            encode_blocks_scalar,
+            hash_bits=hash_bits,
+            skip_base=skip_base,
+            packed=True,
         )
-    else:
-        def inner(fs, ls):
-            return jax.lax.map(lambda t: encode_block(*t), (fs, ls))
+
+        @jax.jit
+        def fn(fs, ls):
+            packed, body_lens = inner_packed(fs.astype(jnp.int32), ls)
+            flat = compact_words(
+                packed, (body_lens + 3) >> 2, cap_words=capw
+            )
+            return flat, body_lens
+
+        return fn
 
     @jax.jit
     def fn(fs, ls):
-        bodies, body_lens = inner(fs.astype(jnp.int32), ls)
+        bodies, body_lens = jax.lax.map(
+            lambda t: encode_block(*t), (fs.astype(jnp.int32), ls)
+        )
         B, W = bodies.shape
         pad = (-W) % 4
         if pad:
@@ -509,23 +514,7 @@ def decompress(data, engine: str = "auto") -> bytes:
         raise InvalidDataError("length preamble exceeds possible expansion")
     if expected > BLOCK_SIZE:
         return _decompress_multiblock(arr)
-    cap = _bucket(len(arr) + 8)
-    buf = np.zeros((1, cap), np.uint8)
-    buf[0, : len(arr)] = arr
-    out_cap = _bucket(max(expected, 1))
-    # Fused single-fetch: decode + pack + compact in one graph, one
-    # host round trip for (payload, lens, errs). capw is exact (the
-    # preamble gives the output size up front), quantized to bound
-    # recompiles; the <=33% fetch slack costs far less than a second
-    # tunnel round trip at these sizes.
-    capw = _qcap((expected + 3) >> 2)
-    flat, out_lens, errs = _decode_compact_fn(out_cap, capw)(
-        jnp.asarray(buf), jnp.asarray([len(arr)], jnp.int32)
-    )
-    flat, out_lens, errs = jax.device_get((flat, out_lens, errs))
-    _raise_for_err(int(errs[0]))
-    n = int(out_lens[0])
-    return flat.view(np.uint8)[:n].tobytes()
+    return _decode_single_block_device(arr, expected).tobytes()
 
 
 def _decompress_multiblock(arr: np.ndarray) -> bytes:
@@ -583,6 +572,36 @@ def _decode_rows_device(comp, comp_lens, out_lens_exp):
     if flat is not None:
         return _rows_from_flat(flat, out_lens), out_lens
     return _fetch_ragged_packed(packed, out_lens), out_lens
+
+
+def _decode_single_block_device(arr: np.ndarray, expected: int) -> np.ndarray:
+    """Fused single-round-trip device decode of one block (expected
+    <= BLOCK_SIZE, known from the preamble): returns a host uint8 view
+    of exactly the decoded bytes. Shared by decompress() and the
+    zero-copy decompress_into path (round-5 review dedup)."""
+    cap = _bucket(len(arr) + 8)
+    buf = np.zeros((1, cap), np.uint8)
+    buf[0, : len(arr)] = arr
+    out_cap = _bucket(max(expected, 1))
+    # capw is exact (the preamble gives the output size up front),
+    # quantized to bound recompiles; the <=33% fetch slack costs far
+    # less than a second tunnel round trip at these sizes.
+    flat, out_lens, errs = _decode_compact_fn(
+        out_cap, _qcap((expected + 3) >> 2)
+    )(jnp.asarray(buf), jnp.asarray([len(arr)], jnp.int32))
+    flat, out_lens, errs = jax.device_get((flat, out_lens, errs))
+    _raise_for_err(int(errs[0]))
+    return flat.view(np.uint8)[: int(out_lens[0])]
+
+
+def _write_full_checked(out, plain) -> int:
+    """Write a complete result into ``out`` (capacity-checked)."""
+    if len(out) < len(plain):
+        raise BufferTooSmallError(
+            f"need {len(plain)} bytes, destination holds {len(out)}"
+        )
+    _write_out(out, plain)
+    return len(plain)
 
 
 def get_uncompressed_length(data) -> int:
@@ -709,33 +728,14 @@ def _decompress_into_checked(arr: np.ndarray, out, engine: str) -> int:
     if engine == "oracle":
         from snappier_tpu.format import oracle
 
-        plain = oracle.decompress(arr)
-        if len(out) < len(plain):
-            raise BufferTooSmallError(
-                f"need {len(plain)} bytes, destination holds {len(out)}"
-            )
-        _write_out(out, plain)
-        return len(plain)
+        return _write_full_checked(out, oracle.decompress(arr))
     expected, _ = read_varint(arr)
     if expected > plausible_uncompressed_bound(len(arr)):
         raise InvalidDataError("length preamble exceeds possible expansion")
     if expected <= BLOCK_SIZE:
-        cap = _bucket(len(arr) + 8)
-        buf = np.zeros((1, cap), np.uint8)
-        buf[0, : len(arr)] = arr
-        out_cap = _bucket(max(expected, 1))
-        flat, out_lens, errs = _decode_compact_fn(
-            out_cap, _qcap((expected + 3) >> 2)
-        )(jnp.asarray(buf), jnp.asarray([len(arr)], jnp.int32))
-        flat, out_lens, errs = jax.device_get((flat, out_lens, errs))
-        _raise_for_err(int(errs[0]))
-        n = int(out_lens[0])
-        if len(out) < n:
-            raise BufferTooSmallError(
-                f"need {n} bytes, destination holds {len(out)}"
-            )
-        _write_at(out, 0, flat.view(np.uint8)[:n])
-        return n
+        return _write_full_checked(
+            out, _decode_single_block_device(arr, expected)
+        )
     from snappier_tpu.runtime import prescan
 
     recs = prescan.scan_fragments(arr)
@@ -746,13 +746,7 @@ def _decompress_into_checked(arr: np.ndarray, out, engine: str) -> int:
             return native.decompress_into(arr.tobytes(), out)
         from snappier_tpu.format import oracle
 
-        plain = oracle.decompress(arr)
-        if len(out) < len(plain):
-            raise BufferTooSmallError(
-                f"need {len(plain)} bytes, destination holds {len(out)}"
-            )
-        _write_out(out, plain)
-        return len(plain)
+        return _write_full_checked(out, oracle.decompress(arr))
     comp, comp_lens, out_lens_exp = prescan.assemble_fragment_rows(arr, recs)
     exp = np.asarray(out_lens_exp, np.int64)
     total_exp = int(exp.sum())
@@ -812,6 +806,7 @@ def compress_to_memory(data, engine: str = "auto"):
     try:
         n = _compress_into_checked(arr, buf, engine)
     except BaseException:
+        buf[:] = 0  # partial result: zeroize like release() before pooling
         default_pool.giveback(buf)
         raise
     return PooledMemory(buf, n, default_pool)
@@ -831,6 +826,7 @@ def decompress_to_memory(data, engine: str = "auto"):
     try:
         n = _decompress_into_checked(arr, buf, engine)
     except BaseException:
+        buf[:] = 0  # partial plaintext: zeroize like release() before pooling
         default_pool.giveback(buf)
         raise
     return PooledMemory(buf, n, default_pool)

@@ -17,6 +17,7 @@ import threading
 
 import numpy as np
 
+from snappier_tpu.constants import plausible_uncompressed_bound
 from snappier_tpu.errors import BufferTooSmallError, InvalidDataError
 
 _NATIVE_DIR = pathlib.Path(__file__).resolve().parent.parent.parent / "native"
@@ -181,6 +182,53 @@ def load():
         return _lib
 
 
+def _writable_view(out):
+    """Shared destination classification for the zero-copy ``*_into``
+    entry points (one definition so the two directions cannot diverge
+    — round-5 review finding): returns a writable uint8 ndarray view
+    when ``out``'s raw memory IS its element sequence, None when the
+    staging path must handle it, and raises TypeError for read-only
+    buffers (round-4 finding: frombuffer happily wraps immutable
+    buffers and the C engine would write through them)."""
+    try:
+        mv = memoryview(out)
+    except TypeError:
+        return None
+    if mv.readonly:
+        raise TypeError("destination buffer is read-only")
+    if mv.itemsize == 1 and not (
+        isinstance(out, np.ndarray) and out.dtype != np.uint8
+    ):
+        try:
+            return np.frombuffer(mv, np.uint8)
+        except (ValueError, BufferError, TypeError):
+            return None  # non-contiguous / exotic buffer: stage instead
+    return None
+
+
+def _stage_writeback(out, view, stage, n: int) -> int:
+    """Copy ``stage[:n]`` into the destination with one byte per
+    ELEMENT (engine parity with the device/oracle writes; round-4
+    finding: frombuffer on an int32 destination packed 4 bytes per
+    element). Raises BufferTooSmallError when it does not fit."""
+    cap_avail = view.size if view is not None else len(out)
+    if n > cap_avail:
+        raise BufferTooSmallError(
+            f"need {n} bytes, destination holds {cap_avail}"
+        )
+    if view is not None:
+        view[:n] = stage[:n]
+    elif isinstance(out, np.ndarray):
+        out[:n] = stage[:n]  # per-element, cast to out's dtype
+    else:
+        a = np.asarray(out)
+        if not a.flags.owndata:
+            a[:n] = stage[:n]
+        else:
+            out[:n] = stage[:n].tobytes()
+    return n
+
+
 def _out_buffer(cap: int):
     """Uninitialized output buffer + ctypes view (a zero-initialized
     `(c_uint8 * cap)()` costs more than the codec work for small
@@ -231,21 +279,7 @@ def compress_into(data: bytes, out) -> int:
         raise RuntimeError("native runtime unavailable")
     data = bytes(data)
     cap = lib.stpu_max_compressed_length(len(data))
-    view = None
-    try:
-        mv = memoryview(out)
-    except TypeError:
-        mv = None
-    if mv is not None and mv.readonly:
-        raise TypeError("destination buffer is read-only")
-    if mv is not None and mv.itemsize == 1 and not (
-        isinstance(out, np.ndarray) and out.dtype != np.uint8
-    ):
-        try:
-            # frombuffer inherits writability from mv (checked above).
-            view = np.frombuffer(mv, np.uint8)
-        except (ValueError, BufferError, TypeError):
-            view = None  # non-contiguous / exotic buffer: stage below
+    view = _writable_view(out)
     out_len = ctypes.c_size_t()
     if view is not None and view.size >= cap:
         rc = lib.stpu_compress(
@@ -275,26 +309,7 @@ def compress_into(data: bytes, out) -> int:
         )
         if rc != _OK:
             raise InvalidDataError(f"native compress failed rc={rc}")
-        n = out_len.value
-        cap_avail = view.size if view is not None else len(out)
-        if n > cap_avail:
-            raise BufferTooSmallError(
-                f"need {n} bytes, destination holds {cap_avail}"
-            )
-        if view is not None:
-            view[:n] = stage[:n]
-        elif isinstance(out, np.ndarray):
-            out[:n] = stage[:n]  # per-element, cast to out's dtype
-        else:
-            # Element-shaped buffers (e.g. a memoryview over an int32
-            # array): write through an ndarray view when the buffer
-            # protocol gives one (owndata False), else raw bytes.
-            a = np.asarray(out)
-            if not a.flags.owndata:
-                a[:n] = stage[:n]
-            else:
-                out[:n] = stage[:n].tobytes()
-        return n
+        return _stage_writeback(out, view, stage, out_len.value)
     finally:
         default_pool.giveback(stage)
 
@@ -309,7 +324,7 @@ def decompress(data: bytes) -> bytes:
     if rc != _OK:
         raise InvalidDataError("bad length preamble")
     expected = val.value
-    if expected > 32 * len(data) + 64:
+    if expected > plausible_uncompressed_bound(len(data)):
         raise InvalidDataError("length preamble exceeds possible expansion")
     # +64 slack: the native decoder's wide copies spill past the
     # logical end (see snappy_core.cpp stpu_decompress contract).
@@ -347,22 +362,9 @@ def decompress_into(data: bytes, out) -> int:
     if rc != _OK:
         raise InvalidDataError("bad length preamble")
     expected = val.value
-    if expected > 32 * len(data) + 64:
+    if expected > plausible_uncompressed_bound(len(data)):
         raise InvalidDataError("length preamble exceeds possible expansion")
-    view = None
-    try:
-        mv = memoryview(out)
-    except TypeError:
-        mv = None
-    if mv is not None and mv.readonly:
-        raise TypeError("destination buffer is read-only")
-    if mv is not None and mv.itemsize == 1 and not (
-        isinstance(out, np.ndarray) and out.dtype != np.uint8
-    ):
-        try:
-            view = np.frombuffer(mv, np.uint8)
-        except (ValueError, BufferError, TypeError):
-            view = None  # non-contiguous / exotic buffer: stage below
+    view = _writable_view(out)
     out_len = ctypes.c_size_t()
     if view is not None and view.size >= expected:
         rc = lib.stpu_decompress(
@@ -393,23 +395,7 @@ def decompress_into(data: bytes, out) -> int:
             raise InvalidDataError("malformed snappy block data")
         if rc == _TOO_SMALL:
             raise BufferTooSmallError("output buffer too small")
-        n = out_len.value
-        cap_avail = view.size if view is not None else len(out)
-        if n > cap_avail:
-            raise BufferTooSmallError(
-                f"need {n} bytes, destination holds {cap_avail}"
-            )
-        if view is not None:
-            view[:n] = stage[:n]
-        elif isinstance(out, np.ndarray):
-            out[:n] = stage[:n]  # per-element, cast to out's dtype
-        else:
-            a = np.asarray(out)
-            if not a.flags.owndata:
-                a[:n] = stage[:n]
-            else:
-                out[:n] = stage[:n].tobytes()
-        return n
+        return _stage_writeback(out, view, stage, out_len.value)
     finally:
         default_pool.giveback(stage)
 

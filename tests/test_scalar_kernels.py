@@ -340,3 +340,28 @@ def test_encoder_epoch_split_guard(monkeypatch):
         assert oracle.decompress(comp) == frags[i].astype(
             np.uint8
         ).tobytes()
+
+
+def test_encode_packed_image_matches_unpacked():
+    """encode_blocks_scalar(packed=True) returns the kernel's word
+    image whose bytes are identical to the unpacked bodies (the fused
+    compress graph consumes it directly — round-5 review finding)."""
+    rng = np.random.default_rng(23)
+    B = 3
+    frags = rng.integers(0, 256, (B, F), dtype=np.int32)
+    frags[:, ::3] = 65  # some compressibility
+    lens = np.array([F, F - 1, F // 2], np.int32)
+    from snappier_tpu.ops.pallas.scalar_codec import encode_blocks_scalar
+
+    bodies, blens = encode_blocks_scalar(
+        jnp.asarray(frags), jnp.asarray(lens), interpret=True
+    )
+    packed, blens2 = encode_blocks_scalar(
+        jnp.asarray(frags), jnp.asarray(lens), interpret=True, packed=True
+    )
+    assert (np.asarray(blens) == np.asarray(blens2)).all()
+    by = np.asarray(packed).view(np.uint8).reshape(B, -1)
+    ref = np.asarray(bodies, np.uint8)
+    for i in range(B):
+        n = int(np.asarray(blens)[i])
+        assert by[i, :n].tobytes() == ref[i, :n].tobytes(), i
