@@ -391,17 +391,21 @@ def _decompress_chunks_batched(
     return result, crcs  # type: ignore[return-value]
 
 
-def stream_compress(data: bytes, engine: str = "auto") -> bytes:
+def stream_compress(
+    data: bytes, engine: str = "auto", threads: int = 0
+) -> bytes:
     """One-shot framing-format compress (batched on device, or entirely
     inside the C++ runtime for the native engine — chunking, CRC and
-    headers included, the host IO pipeline)."""
+    headers included, the host IO pipeline). ``threads`` applies to the
+    native engine's chunk-parallel pipeline (0 = hardware concurrency,
+    1 = serial; output bytes identical at every count)."""
     from snappier_tpu.runtime.block import _pick_engine
 
     data = bytes(data)
     if _pick_engine(engine) == "native":
         from snappier_tpu.runtime import native
 
-        return native.stream_compress(data)
+        return native.stream_compress(data, threads=threads)
     chunks = [
         data[i : i + MAX_CHUNK_UNCOMPRESSED]
         for i in range(0, len(data), MAX_CHUNK_UNCOMPRESSED)
@@ -409,15 +413,19 @@ def stream_compress(data: bytes, engine: str = "auto") -> bytes:
     return b"".join([STREAM_HEADER] + _compress_chunks_batched(chunks, engine))
 
 
-def stream_decompress(data: bytes, engine: str = "auto") -> bytes:
-    """One-shot framing-format decompress with full CRC verification."""
+def stream_decompress(
+    data: bytes, engine: str = "auto", threads: int = 0
+) -> bytes:
+    """One-shot framing-format decompress with full CRC verification.
+    ``threads`` as in :func:`stream_compress` (identical verdicts at
+    every count)."""
     from snappier_tpu.runtime.block import _pick_engine
 
     data = bytes(data)
     if _pick_engine(engine) == "native":
         from snappier_tpu.runtime import native
 
-        return native.stream_decompress(data)
+        return native.stream_decompress(data, threads=threads)
     d = StreamDecompressor(engine=engine)
     out = d.decompress(data)
     d.finish()
