@@ -253,6 +253,10 @@ int stpu_uncompressed_length(const uint8_t* input, size_t n, uint64_t* val) {
 // SnappyDecompressor.cs:524-527). Callers that allocate 64 bytes of
 // slack (the Python `decompress()` wrapper) never take the exact
 // path, so the bulk fast path is unchanged.
+static int decode_tag_stream(const uint8_t* input, size_t ip, size_t n,
+                             uint8_t* out, size_t op0, size_t expected,
+                             size_t out_cap, size_t* out_len);
+
 int stpu_decompress(const uint8_t* input, size_t n, uint8_t* out,
                     size_t out_cap, size_t* out_len) {
   uint64_t expected64 = 0;
@@ -263,8 +267,20 @@ int stpu_decompress(const uint8_t* input, size_t n, uint8_t* out,
   size_t ip = 0;
   while (input[ip] & 0x80) ++ip;
   ++ip;
+  return decode_tag_stream(input, ip, n, out, 0, expected, out_cap,
+                           out_len);
+}
 
-  size_t op = 0;
+// Core tag-stream decoder shared by the whole-block entry point and
+// the fragment-parallel MT path: decodes input[ip, n) into out
+// starting at output position op0, requiring the stream to land
+// exactly on `expected`. `out_cap` bounds the sloppy wide copies
+// (byte-precise in the last 32 bytes), so adjacent MT workers'
+// exact-capacity ranges never overlap.
+static int decode_tag_stream(const uint8_t* input, size_t ip, size_t n,
+                             uint8_t* out, size_t op0, size_t expected,
+                             size_t out_cap, size_t* out_len) {
+  size_t op = op0;
   while (ip < n) {
     const uint8_t tag = input[ip];
     const uint32_t type = tag & 3;
@@ -500,6 +516,134 @@ int stpu_scan_fragments(const uint8_t* input, size_t n, int64_t* recs,
     if (!close_frag(ip, 0, 0, op - frag_start)) return STPU_INVALID_DATA;
   }
   *n_frags = nf;
+  return STPU_OK;
+}
+
+// ---------------------------------------------------------------------------
+// Multithreaded BLOCK codec. Fragments are the format's independence
+// unit (64 KiB input windows on compress; exact 64 KiB output lines on
+// decompress via the prescan), so the host block codec parallelizes
+// the same way the stream codec and the TPU batch path do. Output
+// bytes are identical to the serial entry points in both directions.
+
+static unsigned resolve_threads(int threads, size_t work_items);
+
+int stpu_compress_mt(const uint8_t* input, size_t n, uint8_t* out,
+                     size_t out_cap, size_t* out_len, int threads) {
+  if (out_cap < stpu_max_compressed_length(n)) return STPU_BUFFER_TOO_SMALL;
+  if (n > 0xffffffffu) return STPU_INVALID_DATA;
+  size_t nfrags = (n + kBlockSize - 1) / kBlockSize;
+  unsigned nt = resolve_threads(threads, nfrags ? nfrags : 1);
+  if (nfrags < 2 || nt < 2)
+    return stpu_compress(input, n, out, out_cap, out_len);
+  // Fragment bodies land in an internal scratch at worst-case slots
+  // (the caller's buffer is sized for the SUM bound, which is smaller
+  // than nfrags * per-fragment bound), then compact into `out` after
+  // the varint preamble. All throwing allocations happen here, on the
+  // calling thread, with a serial fallback (see stream MT notes).
+  const size_t W = stpu_max_compressed_length(kBlockSize);
+  std::vector<uint8_t> scratch;
+  std::vector<size_t> sizes;
+  std::vector<std::vector<uint16_t>> tables;
+  std::vector<std::thread> pool;
+  std::atomic<size_t> next{0};
+  try {
+    scratch.resize(nfrags * W);
+    sizes.assign(nfrags, 0);
+    tables.resize(nt);
+    for (unsigned t = 0; t < nt; ++t)
+      tables[t].resize(size_t{1} << kMaxHashBits);
+    pool.reserve(nt - 1);
+  } catch (...) {
+    return stpu_compress(input, n, out, out_cap, out_len);
+  }
+  auto worker = [&](unsigned wid) {
+    uint16_t* table = tables[wid].data();
+    for (;;) {
+      size_t i = next.fetch_add(1);
+      if (i >= nfrags) return;
+      size_t start = i * kBlockSize;
+      size_t frag = n - start < kBlockSize ? n - start : kBlockSize;
+      uint8_t* slot = scratch.data() + i * W;
+      uint8_t* bp = compress_fragment(input + start, frag, slot, table);
+      sizes[i] = static_cast<size_t>(bp - slot);
+    }
+  };
+  try {
+    for (unsigned t = 1; t < nt; ++t) pool.emplace_back(worker, t);
+  } catch (...) {  // running workers drain the shared queue
+  }
+  worker(0);
+  for (auto& th : pool) th.join();
+  uint8_t* op = out + write_varint32(out, static_cast<uint32_t>(n));
+  for (size_t i = 0; i < nfrags; ++i) {
+    std::memcpy(op, scratch.data() + i * W, sizes[i]);
+    op += sizes[i];
+  }
+  *out_len = static_cast<size_t>(op - out);
+  return STPU_OK;
+}
+
+int stpu_decompress_mt(const uint8_t* input, size_t n, uint8_t* out,
+                       size_t out_cap, size_t* out_len, int threads) {
+  uint64_t expected64 = 0;
+  if (stpu_uncompressed_length(input, n, &expected64) != STPU_OK)
+    return STPU_INVALID_DATA;
+  size_t expected = static_cast<size_t>(expected64);
+  if (out_cap < expected) return STPU_BUFFER_TOO_SMALL;
+  size_t nfrags_cap = expected / kBlockSize + 3;
+  unsigned nt = resolve_threads(threads, expected / kBlockSize + 1);
+  if (expected <= kBlockSize || nt < 2)
+    return stpu_decompress(input, n, out, out_cap, out_len);
+  std::vector<int64_t> recs;
+  std::vector<std::thread> pool;
+  try {
+    recs.resize(nfrags_cap * 7);
+    pool.reserve(nt - 1);
+  } catch (...) {
+    return stpu_decompress(input, n, out, out_cap, out_len);
+  }
+  size_t nf = 0;
+  int rc0 = stpu_scan_fragments(input, n, recs.data(), nfrags_cap, &nf);
+  if (rc0 == STPU_WINDOW_CROSS)  // spec-legal, unseen in practice
+    return stpu_decompress(input, n, out, out_cap, out_len);
+  if (rc0 != STPU_OK) return rc0;
+  std::atomic<size_t> next{0};
+  std::atomic<int> rc{STPU_OK};
+  auto worker = [&]() {
+    for (;;) {
+      size_t i = next.fetch_add(1);
+      if (i >= nf || rc.load(std::memory_order_relaxed) != STPU_OK)
+        return;
+      const int64_t* r = recs.data() + i * 7;
+      // Record layout: see stpu_scan_fragments. Fragment i's output
+      // range is [i * 64Ki, i * 64Ki + out_len) — exact capacity so
+      // no worker writes a neighbor's bytes.
+      uint8_t* dst = out + i * kBlockSize;
+      size_t frag_out = static_cast<size_t>(r[6]);
+      size_t lead = static_cast<size_t>(r[3]);
+      size_t tail = static_cast<size_t>(r[5]);
+      if (lead) std::memcpy(dst, input + r[2], lead);
+      size_t op_end = frag_out - tail;
+      size_t got = 0;
+      int c = decode_tag_stream(input, static_cast<size_t>(r[0]),
+                                static_cast<size_t>(r[1]), dst, lead,
+                                op_end, frag_out, &got);
+      if (c != STPU_OK) {
+        rc.store(c);
+        return;
+      }
+      if (tail) std::memcpy(dst + op_end, input + r[4], tail);
+    }
+  };
+  try {
+    for (unsigned t = 1; t < nt; ++t) pool.emplace_back(worker);
+  } catch (...) {
+  }
+  worker();
+  for (auto& th : pool) th.join();
+  if (rc.load() != STPU_OK) return rc.load();
+  *out_len = expected;
   return STPU_OK;
 }
 

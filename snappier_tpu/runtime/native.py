@@ -140,7 +140,12 @@ def load():
                 ctypes.c_size_t,
                 ctypes.POINTER(ctypes.c_size_t),
             ]
-        for name in ("stpu_stream_compress_mt", "stpu_stream_decompress_mt"):
+        for name in (
+            "stpu_stream_compress_mt",
+            "stpu_stream_decompress_mt",
+            "stpu_compress_mt",
+            "stpu_decompress_mt",
+        ):
             if not hasattr(lib, name):
                 continue
             fn = getattr(lib, name)
@@ -241,18 +246,34 @@ def available() -> bool:
     return load() is not None
 
 
-def compress(data: bytes) -> bytes:
+def _block_compress_raw(lib, data: bytes, out, cap: int, threads: int):
+    """One stpu_(compress|compress_mt) call; returns bytes written.
+    ``threads``: 0 = hardware concurrency (the MT path self-serializes
+    below 2 fragments), 1 = serial; output bytes are identical at
+    every count (per-fragment output depends only on that fragment)."""
+    out_len = ctypes.c_size_t()
+    if threads != 1 and hasattr(lib, "stpu_compress_mt"):
+        rc = lib.stpu_compress_mt(
+            data, len(data), out, cap, ctypes.byref(out_len), threads
+        )
+    else:
+        rc = lib.stpu_compress(
+            data, len(data), out, cap, ctypes.byref(out_len)
+        )
+    if rc != _OK:
+        raise InvalidDataError(f"native compress failed rc={rc}")
+    return out_len.value
+
+
+def compress(data: bytes, threads: int = 0) -> bytes:
     lib = load()
     if lib is None:
         raise RuntimeError("native runtime unavailable")
     data = bytes(data)
     cap = lib.stpu_max_compressed_length(len(data))
     arr, out = _out_buffer(cap)
-    out_len = ctypes.c_size_t()
-    rc = lib.stpu_compress(data, len(data), out, cap, ctypes.byref(out_len))
-    if rc != _OK:
-        raise InvalidDataError(f"native compress failed rc={rc}")
-    return arr[: out_len.value].tobytes()
+    n = _block_compress_raw(lib, data, out, cap, threads)
+    return arr[:n].tobytes()
 
 
 def compress_into(data: bytes, out) -> int:
@@ -314,7 +335,35 @@ def compress_into(data: bytes, out) -> int:
         default_pool.giveback(stage)
 
 
-def decompress(data: bytes) -> bytes:
+def _block_decompress_raw(lib, data: bytes, out, cap: int, threads: int):
+    """One stpu_(decompress|decompress_mt) call; returns bytes written.
+    The MT path prescans fragment lines and decodes them in parallel
+    (self-serializes at <= one fragment); verdicts and bytes are
+    identical to the serial decoder."""
+    out_len = ctypes.c_size_t()
+    if threads != 1 and hasattr(lib, "stpu_decompress_mt"):
+        rc = lib.stpu_decompress_mt(
+            data, len(data), out, cap, ctypes.byref(out_len), threads
+        )
+    else:
+        rc = lib.stpu_decompress(
+            data, len(data), out, cap, ctypes.byref(out_len)
+        )
+    if rc == _INVALID:
+        raise InvalidDataError("malformed snappy block data")
+    if rc == _TOO_SMALL:
+        raise BufferTooSmallError("output buffer too small")
+    return out_len.value
+
+
+def decompress(data: bytes, threads: int = 1) -> bytes:
+    """Block-format decompress. ``threads`` defaults to the SERIAL
+    decoder: the parallel path (prescan at 64 KiB output lines +
+    fragment-parallel decode) measured 517-653 MB/s vs 725 serial on
+    this 4-vCPU host — the decode is store-bandwidth-bound here and
+    the prescan adds a ~37% serial fraction (Amdahl). Pass threads=0
+    (auto) or N to opt in on hosts with real memory bandwidth; bytes
+    and verdicts are identical either way."""
     lib = load()
     if lib is None:
         raise RuntimeError("native runtime unavailable")
@@ -329,15 +378,8 @@ def decompress(data: bytes) -> bytes:
     # +64 slack: the native decoder's wide copies spill past the
     # logical end (see snappy_core.cpp stpu_decompress contract).
     arr, out = _out_buffer(expected + 64)
-    out_len = ctypes.c_size_t()
-    rc = lib.stpu_decompress(
-        data, len(data), out, expected + 64, ctypes.byref(out_len)
-    )
-    if rc == _INVALID:
-        raise InvalidDataError("malformed snappy block data")
-    if rc == _TOO_SMALL:
-        raise BufferTooSmallError("output buffer too small")
-    return arr[: out_len.value].tobytes()
+    n = _block_decompress_raw(lib, data, out, expected + 64, threads)
+    return arr[:n].tobytes()
 
 
 def decompress_into(data: bytes, out) -> int:

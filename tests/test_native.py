@@ -220,3 +220,62 @@ def test_stream_mt_corrupt_verdict_parity():
         for thr in (1, 0):
             with pytest.raises(InvalidDataError):
                 native.stream_decompress(mb, threads=thr)
+
+
+def test_block_mt_parity_and_roundtrip():
+    """Fragment-parallel block codec (round-5): compress output bytes
+    identical to serial at every thread count; parallel decompress
+    (prescan + per-fragment decode into exact ranges) bit-exact and
+    verdict-identical. Decompress defaults to serial (measured
+    bandwidth-bound on this host); this exercises the opt-in path."""
+    import numpy as np
+    import pytest
+
+    from snappier_tpu.runtime import native
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    from tests.conftest import load_corpus_file
+
+    rng = np.random.default_rng(88)
+    html = load_corpus_file("html")
+    cases = [
+        b"",
+        b"x",
+        html[:200_000],
+        (html * 3)[: 4 * 65536],  # exact fragment multiple
+        rng.integers(0, 256, 300_000, np.uint8).tobytes(),
+        b"ab" * 150_000,  # overlapping-pattern heavy
+    ]
+    for data in cases:
+        serial = native.compress(data, threads=1)
+        for thr in (0, 2, 3):
+            assert native.compress(data, threads=thr) == serial
+            assert native.decompress(serial, threads=thr) == data
+        assert native.decompress(serial) == data  # default (serial)
+
+    # Corrupt-verdict parity: serial and parallel must agree on every
+    # mutant (a flipped byte can stay wire-legal — the verdict, not a
+    # fixed expectation, is the contract).
+    import snappier_tpu.errors as errors
+
+    comp = native.compress(html[:200_000], threads=1)
+
+    def verdict(blob, thr):
+        try:
+            return True, native.decompress(blob, threads=thr)
+        except errors.InvalidDataError:
+            return False, b""
+
+    mutants = [comp[:-10]]  # truncation: guaranteed tag overrun
+    for pos in (5, 17, len(comp) // 2, len(comp) - 3):
+        m = bytearray(comp)
+        m[pos] ^= 0xFF
+        mutants.append(bytes(m))
+    rejected = 0
+    for mb in mutants:
+        v1 = verdict(mb, 1)
+        v0 = verdict(mb, 0)
+        assert v1 == v0, "serial/parallel verdict divergence"
+        rejected += not v1[0]
+    assert rejected >= 1  # the truncation at least must reject
