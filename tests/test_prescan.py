@@ -117,3 +117,29 @@ def test_straddling_literal_after_tags_native_parity():
         assert (rn == rp).all()
 
     assert st.decompress(comp, engine="tpu") == plain
+
+
+def test_window_crossing_falls_back_everywhere():
+    """Round-5: every NEW decode front-end must take the host-serial
+    fallback on a window-crossing stream — the MT native decoder
+    (its prescan reports the crossing), zero-copy decompress_into, and
+    the sharded corpus driver (which must also flag the fallback in
+    its meta)."""
+    comp, full = _window_crossing_stream()
+
+    from snappier_tpu.runtime import block, native
+
+    if native.available():
+        assert native.decompress(comp, threads=0) == full  # MT -> serial
+        buf = bytearray(len(full))
+        assert native.decompress_into(comp, buf) == len(full)
+        assert bytes(buf) == full
+    out = bytearray(len(full))
+    assert block.decompress_into(comp, out, engine="tpu") == len(full)
+    assert bytes(out) == full
+
+    from snappier_tpu.parallel import distributed
+
+    plain, meta = distributed.decompress_corpus_sharded(comp)
+    assert plain == full
+    assert meta.get("window_crossing_fallback") is True
