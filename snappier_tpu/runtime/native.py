@@ -276,7 +276,7 @@ def compress(data: bytes, threads: int = 0) -> bytes:
     return arr[:n].tobytes()
 
 
-def compress_into(data: bytes, out) -> int:
+def compress_into(data: bytes, out, threads: int = 0) -> int:
     """Compress directly into the writable buffer ``out`` (zero-copy:
     ``stpu_compress`` emits straight into the caller's memory when it
     is large enough; otherwise a pooled staging buffer is used and only
@@ -301,18 +301,14 @@ def compress_into(data: bytes, out) -> int:
     data = bytes(data)
     cap = lib.stpu_max_compressed_length(len(data))
     view = _writable_view(out)
-    out_len = ctypes.c_size_t()
     if view is not None and view.size >= cap:
-        rc = lib.stpu_compress(
+        return _block_compress_raw(
+            lib,
             data,
-            len(data),
             view.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             view.size,
-            ctypes.byref(out_len),
+            threads,
         )
-        if rc != _OK:
-            raise InvalidDataError(f"native compress failed rc={rc}")
-        return out_len.value
     from snappier_tpu.utils.pool import default_pool
 
     # Round the stage size to a power-of-two bucket: BufferPool bounds
@@ -321,16 +317,14 @@ def compress_into(data: bytes, out) -> int:
     stage_n = 1 << max(10, (max(cap, 1) - 1).bit_length())
     stage = default_pool.rent(stage_n, np.uint8)
     try:
-        rc = lib.stpu_compress(
+        n = _block_compress_raw(
+            lib,
             data,
-            len(data),
             stage.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             stage.size,
-            ctypes.byref(out_len),
+            threads,
         )
-        if rc != _OK:
-            raise InvalidDataError(f"native compress failed rc={rc}")
-        return _stage_writeback(out, view, stage, out_len.value)
+        return _stage_writeback(out, view, stage, n)
     finally:
         default_pool.giveback(stage)
 
@@ -382,7 +376,7 @@ def decompress(data: bytes, threads: int = 1) -> bytes:
     return arr[:n].tobytes()
 
 
-def decompress_into(data: bytes, out) -> int:
+def decompress_into(data: bytes, out, threads: int = 1) -> int:
     """Decompress directly into the writable buffer ``out`` (zero-copy:
     ``stpu_decompress`` is byte-precise near the buffer end, so it
     writes straight into the caller's memory with no full-output
@@ -407,37 +401,27 @@ def decompress_into(data: bytes, out) -> int:
     if expected > plausible_uncompressed_bound(len(data)):
         raise InvalidDataError("length preamble exceeds possible expansion")
     view = _writable_view(out)
-    out_len = ctypes.c_size_t()
     if view is not None and view.size >= expected:
-        rc = lib.stpu_decompress(
+        return _block_decompress_raw(
+            lib,
             data,
-            len(data),
             view.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             view.size,
-            ctypes.byref(out_len),
+            threads,
         )
-        if rc == _INVALID:
-            raise InvalidDataError("malformed snappy block data")
-        if rc == _TOO_SMALL:
-            raise BufferTooSmallError("output buffer too small")
-        return out_len.value
     from snappier_tpu.utils.pool import default_pool
 
     stage_n = 1 << max(10, (max(int(expected) + 64, 1) - 1).bit_length())
     stage = default_pool.rent(stage_n, np.uint8)
     try:
-        rc = lib.stpu_decompress(
+        n = _block_decompress_raw(
+            lib,
             data,
-            len(data),
             stage.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             stage.size,
-            ctypes.byref(out_len),
+            threads,
         )
-        if rc == _INVALID:
-            raise InvalidDataError("malformed snappy block data")
-        if rc == _TOO_SMALL:
-            raise BufferTooSmallError("output buffer too small")
-        return _stage_writeback(out, view, stage, out_len.value)
+        return _stage_writeback(out, view, stage, n)
     finally:
         default_pool.giveback(stage)
 
