@@ -16,6 +16,7 @@
 #include <atomic>
 #include <thread>
 #include <vector>
+#include <memory>
 #include <unistd.h>
 
 namespace {
@@ -184,6 +185,25 @@ void crc_init() {
       crc_table[t][i] =
           (crc_table[t - 1][i] >> 8) ^ crc_table[0][crc_table[t - 1][i] & 0xff];
   crc_init_done = true;
+}
+
+// Spawn nt-1 workers (the calling thread is worker 0) and join them.
+// Spawn failure mid-loop is benign for atomic-queue workers: the
+// already-running ones drain the queue. Never lets an exception cross
+// back (the callers sit behind an extern-C boundary). Shared by the
+// block and stream MT codecs so the containment rules live in ONE
+// place (round-5 second-pass review). Lives outside the extern-C
+// block (templates cannot take C linkage); internal linkage via this
+// anonymous namespace.
+template <typename F>
+void run_worker_pool(std::vector<std::thread>& pool, unsigned nt,
+                     F&& worker) {
+  try {
+    for (unsigned t = 1; t < nt; ++t) pool.emplace_back(worker, t);
+  } catch (...) {
+  }
+  worker(0u);
+  for (auto& th : pool) th.join();
 }
 
 }  // namespace
@@ -534,21 +554,25 @@ int stpu_compress_mt(const uint8_t* input, size_t n, uint8_t* out,
   if (n > 0xffffffffu) return STPU_INVALID_DATA;
   size_t nfrags = (n + kBlockSize - 1) / kBlockSize;
   unsigned nt = resolve_threads(threads, nfrags ? nfrags : 1);
-  if (nfrags < 2 || nt < 2)
+  // Below 8 fragments (512 KiB) the fixed costs (thread spawn, slot
+  // scratch, compaction copy) rival the win — stay serial.
+  if (nfrags < 8 || nt < 2)
     return stpu_compress(input, n, out, out_cap, out_len);
   // Fragment bodies land in an internal scratch at worst-case slots
   // (the caller's buffer is sized for the SUM bound, which is smaller
   // than nfrags * per-fragment bound), then compact into `out` after
   // the varint preamble. All throwing allocations happen here, on the
   // calling thread, with a serial fallback (see stream MT notes).
+  // The scratch is default-initialized (new[], not vector): zero-
+  // filling ~1.17x the input would be a wasted full memory pass.
   const size_t W = stpu_max_compressed_length(kBlockSize);
-  std::vector<uint8_t> scratch;
+  std::unique_ptr<uint8_t[]> scratch;
   std::vector<size_t> sizes;
   std::vector<std::vector<uint16_t>> tables;
   std::vector<std::thread> pool;
   std::atomic<size_t> next{0};
   try {
-    scratch.resize(nfrags * W);
+    scratch.reset(new uint8_t[nfrags * W]);
     sizes.assign(nfrags, 0);
     tables.resize(nt);
     for (unsigned t = 0; t < nt; ++t)
@@ -557,6 +581,7 @@ int stpu_compress_mt(const uint8_t* input, size_t n, uint8_t* out,
   } catch (...) {
     return stpu_compress(input, n, out, out_cap, out_len);
   }
+  uint8_t* slots = scratch.get();
   auto worker = [&](unsigned wid) {
     uint16_t* table = tables[wid].data();
     for (;;) {
@@ -564,20 +589,15 @@ int stpu_compress_mt(const uint8_t* input, size_t n, uint8_t* out,
       if (i >= nfrags) return;
       size_t start = i * kBlockSize;
       size_t frag = n - start < kBlockSize ? n - start : kBlockSize;
-      uint8_t* slot = scratch.data() + i * W;
+      uint8_t* slot = slots + i * W;
       uint8_t* bp = compress_fragment(input + start, frag, slot, table);
       sizes[i] = static_cast<size_t>(bp - slot);
     }
   };
-  try {
-    for (unsigned t = 1; t < nt; ++t) pool.emplace_back(worker, t);
-  } catch (...) {  // running workers drain the shared queue
-  }
-  worker(0);
-  for (auto& th : pool) th.join();
+  run_worker_pool(pool, nt, worker);
   uint8_t* op = out + write_varint32(out, static_cast<uint32_t>(n));
   for (size_t i = 0; i < nfrags; ++i) {
-    std::memcpy(op, scratch.data() + i * W, sizes[i]);
+    std::memcpy(op, slots + i * W, sizes[i]);
     op += sizes[i];
   }
   *out_len = static_cast<size_t>(op - out);
@@ -636,12 +656,7 @@ int stpu_decompress_mt(const uint8_t* input, size_t n, uint8_t* out,
       if (tail) std::memcpy(dst + op_end, input + r[4], tail);
     }
   };
-  try {
-    for (unsigned t = 1; t < nt; ++t) pool.emplace_back(worker);
-  } catch (...) {
-  }
-  worker();
-  for (auto& th : pool) th.join();
+  run_worker_pool(pool, nt, [&](unsigned) { worker(); });
   if (rc.load() != STPU_OK) return rc.load();
   *out_len = expected;
   return STPU_OK;
@@ -822,7 +837,9 @@ int stpu_stream_decompress(const uint8_t* input, size_t n, uint8_t* out,
 
 static unsigned resolve_threads(int threads, size_t work_items) {
   unsigned t;
-  if (threads > 0) {
+  if (threads < 0) {
+    t = 1;  // negative sentinels mean "no threading", never auto
+  } else if (threads > 0) {
     t = static_cast<unsigned>(threads);
   } else {
     t = std::thread::hardware_concurrency();
@@ -905,14 +922,7 @@ int stpu_stream_compress_mt(const uint8_t* input, size_t n, uint8_t* out,
       sizes[i] = 8 + payload;
     }
   };
-  // Spawn failure mid-loop is benign: already-running workers drain
-  // the shared atomic queue, so proceeding with fewer is correct.
-  try {
-    for (unsigned t = 1; t < nt; ++t) pool.emplace_back(worker, t);
-  } catch (...) {
-  }
-  worker(0);
-  for (auto& th : pool) th.join();
+  run_worker_pool(pool, nt, worker);
 
   // In-place forward compaction: chunk i moves from its slot to the
   // running offset; dst <= src because every earlier chunk shrank.
@@ -1023,11 +1033,9 @@ int stpu_stream_decompress_mt(const uint8_t* input, size_t n, uint8_t* out,
   std::vector<std::thread> pool;
   try {
     pool.reserve(nt > 0 ? nt - 1 : 0);
-    for (unsigned t = 1; t < nt; ++t) pool.emplace_back(worker);
   } catch (...) {
   }
-  worker();
-  for (auto& th : pool) th.join();
+  run_worker_pool(pool, nt, [&](unsigned) { worker(); });
   if (rc.load() != STPU_OK) return rc.load();
   *out_len = op;
   return STPU_OK;

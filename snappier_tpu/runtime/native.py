@@ -249,8 +249,9 @@ def available() -> bool:
 def _block_compress_raw(lib, data: bytes, out, cap: int, threads: int):
     """One stpu_(compress|compress_mt) call; returns bytes written.
     ``threads``: 0 = hardware concurrency (the MT path self-serializes
-    below 2 fragments), 1 = serial; output bytes are identical at
-    every count (per-fragment output depends only on that fragment)."""
+    below 8 fragments, where fixed costs rival the win), 1 or any
+    negative sentinel = serial; output bytes are identical at every
+    count (per-fragment output depends only on that fragment)."""
     out_len = ctypes.c_size_t()
     if threads != 1 and hasattr(lib, "stpu_compress_mt"):
         rc = lib.stpu_compress_mt(
@@ -277,11 +278,16 @@ def compress(data: bytes, threads: int = 0) -> bytes:
 
 
 def compress_into(data: bytes, out, threads: int = 0) -> int:
-    """Compress directly into the writable buffer ``out`` (zero-copy:
-    ``stpu_compress`` emits straight into the caller's memory when it
-    is large enough; otherwise a pooled staging buffer is used and only
-    the actual compressed bytes are copied — never a full-output
-    ``bytes`` intermediate). Returns bytes written; raises
+    """Compress directly into the writable buffer ``out``. With
+    ``threads=1`` the serial encoder emits straight into the caller's
+    memory when it is large enough (true zero-copy); the default
+    ``threads=0`` routes inputs >= 8 fragments through the parallel
+    encoder, which stages fragment slots in an internal C++ scratch
+    and compacts into the destination (one extra copy of the
+    compressed bytes buys the multi-core encode) — smaller inputs stay
+    serial/zero-copy either way. A pooled staging buffer is used when
+    the destination is below the worst-case bound; never a full-output
+    ``bytes`` intermediate. Returns bytes written; raises
     BufferTooSmallError when the result does not fit.
 
     The zero-copy path requires a WRITABLE destination whose raw
