@@ -279,3 +279,35 @@ def test_block_mt_parity_and_roundtrip():
         assert v1 == v0, "serial/parallel verdict divergence"
         rejected += not v1[0]
     assert rejected >= 1  # the truncation at least must reject
+
+
+def test_u32_boundary_roundtrip():
+    """The wire format's largest legal input (2^32 - 1 bytes) round
+    trips bit-exactly — 5-byte varint preamble at scale — and 2^32 is
+    rejected, not wrapped. Needs ~13 GB RAM and ~2 min, so it is
+    opt-in: SNAPPIER_SCALE_TESTS=1 (wired into the nightly CI job)."""
+    import hashlib
+    import os
+
+    import numpy as np
+    import pytest
+
+    from snappier_tpu.errors import InvalidDataError
+    from snappier_tpu.runtime import native
+
+    if not os.environ.get("SNAPPIER_SCALE_TESTS"):
+        pytest.skip("set SNAPPIER_SCALE_TESTS=1 (needs ~13 GB RAM)")
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    from tests.conftest import load_corpus_file
+
+    html = np.frombuffer(load_corpus_file("html"), np.uint8)
+    N = (1 << 32) - 1
+    blob = np.tile(html, N // len(html) + 1)[:N].tobytes()
+    h0 = hashlib.sha256(blob).hexdigest()
+    comp = native.compress(blob, threads=0)
+    with pytest.raises(InvalidDataError):
+        native.compress(blob + b"x", threads=1)
+    del blob
+    out = native.decompress(comp)
+    assert hashlib.sha256(out).hexdigest() == h0
