@@ -418,6 +418,8 @@ def compress(data, engine: str = "auto", level: str = "fast") -> bytes:
     0.2406 on html's first 64 KiB) at a fraction of the round-2 scan
     pipeline's cost. ``"best"`` is a device-engine feature; explicit
     host engines raise."""
+    from snappier_tpu.utils.profiling import timed_call
+
     if level not in ("fast", "best"):
         raise ValueError(f"unknown level {level!r}")
     if level == "best":
@@ -426,20 +428,21 @@ def compress(data, engine: str = "auto", level: str = "fast") -> bytes:
         engine = "tpu"
     else:
         engine = _pick_engine(engine)
-    if engine == "native":
-        from snappier_tpu.runtime import native
-
-        return native.compress(bytes(_as_u8(data)))
-    if engine == "oracle":
-        from snappier_tpu.format import oracle
-
-        return oracle.compress(_as_u8(data))
     arr = _as_u8(data)
-    rows, _ = _device_bodies(arr, level)
-    out = bytearray(write_varint(len(arr)))
-    for row in rows:
-        out += row.tobytes()
-    return bytes(out)
+    with timed_call(f"block.compress[{engine}]", len(arr)):
+        if engine == "native":
+            from snappier_tpu.runtime import native
+
+            return native.compress(arr.tobytes())
+        if engine == "oracle":
+            from snappier_tpu.format import oracle
+
+            return oracle.compress(arr)
+        rows, _ = _device_bodies(arr, level)
+        out = bytearray(write_varint(len(arr)))
+        for row in rows:
+            out += row.tobytes()
+        return bytes(out)
 
 
 def _device_bodies(arr: np.ndarray, level: str = "fast"):
@@ -499,16 +502,23 @@ def decompress(data, engine: str = "auto") -> bytes:
     """Decompress a Snappy block-format buffer.
     Parity: ``Snappy.DecompressToArray`` (Snappy.cs:273). Raises
     :class:`InvalidDataError` on malformed input."""
+    from snappier_tpu.utils.profiling import timed_call
+
     engine = _pick_engine(engine)
+    arr = _as_u8(data)
+    with timed_call(f"block.decompress[{engine}]", len(arr)):
+        return _decompress_dispatch(arr, engine)
+
+
+def _decompress_dispatch(arr: np.ndarray, engine: str) -> bytes:
     if engine == "native":
         from snappier_tpu.runtime import native
 
-        return native.decompress(bytes(_as_u8(data)))
+        return native.decompress(arr.tobytes())
     if engine == "oracle":
         from snappier_tpu.format import oracle
 
-        return oracle.decompress(_as_u8(data))
-    arr = _as_u8(data)
+        return oracle.decompress(arr)
     expected, _ = read_varint(arr)  # validates the preamble host-side
     if expected > plausible_uncompressed_bound(len(arr)):
         raise InvalidDataError("length preamble exceeds possible expansion")

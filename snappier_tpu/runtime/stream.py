@@ -401,7 +401,16 @@ def stream_compress(
     1 = serial; output bytes identical at every count)."""
     from snappier_tpu.runtime.block import _pick_engine
 
+    from snappier_tpu.utils.profiling import timed_call
+
     data = bytes(data)
+    with timed_call("stream.compress", len(data)):
+        return _stream_compress_impl(data, engine, threads)
+
+
+def _stream_compress_impl(data: bytes, engine: str, threads: int) -> bytes:
+    from snappier_tpu.runtime.block import _pick_engine
+
     if _pick_engine(engine) == "native":
         from snappier_tpu.runtime import native
 
@@ -421,7 +430,16 @@ def stream_decompress(
     every count)."""
     from snappier_tpu.runtime.block import _pick_engine
 
+    from snappier_tpu.utils.profiling import timed_call
+
     data = bytes(data)
+    with timed_call("stream.decompress", len(data)):
+        return _stream_decompress_impl(data, engine, threads)
+
+
+def _stream_decompress_impl(data: bytes, engine: str, threads: int) -> bytes:
+    from snappier_tpu.runtime.block import _pick_engine
+
     if _pick_engine(engine) == "native":
         from snappier_tpu.runtime import native
 

@@ -93,3 +93,28 @@ def test_throughput_and_device_trace():
 
             (jnp.arange(8) * 2).sum().block_until_ready()
         assert any(pathlib.Path(d).rglob("*"))  # trace artifacts written
+
+
+def test_runtime_metrics_opt_in(monkeypatch):
+    """SNAPPIER_METRICS accounting (SURVEY §5.5 observability beyond
+    the reference's debug-asserts-only stance): disabled by default
+    (zero-cost falsy check), accumulates calls/seconds/bytes when on."""
+    import snappier_tpu.utils.profiling as prof
+
+    # Disabled: timed_call is a no-op and records nothing.
+    prof.metrics_reset()
+    monkeypatch.setattr(prof, "_ENABLED", False)
+    with prof.timed_call("x", 10):
+        pass
+    assert prof.metrics_snapshot() == {}
+
+    monkeypatch.setattr(prof, "_ENABLED", True)
+    with prof.timed_call("x", 10):
+        pass
+    with prof.timed_call("x", 30):
+        pass
+    snap = prof.metrics_snapshot()
+    assert snap["x"]["calls"] == 2 and snap["x"]["bytes"] == 40
+    assert snap["x"]["seconds"] >= 0 and snap["x"]["MBps"] >= 0
+    prof.metrics_reset()
+    assert prof.metrics_snapshot() == {}
