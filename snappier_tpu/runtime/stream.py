@@ -399,8 +399,6 @@ def stream_compress(
     headers included, the host IO pipeline). ``threads`` applies to the
     native engine's chunk-parallel pipeline (0 = hardware concurrency,
     1 = serial; output bytes identical at every count)."""
-    from snappier_tpu.runtime.block import _pick_engine
-
     from snappier_tpu.utils.profiling import timed_call
 
     data = bytes(data)
@@ -428,8 +426,6 @@ def stream_decompress(
     """One-shot framing-format decompress with full CRC verification.
     ``threads`` as in :func:`stream_compress` (identical verdicts at
     every count)."""
-    from snappier_tpu.runtime.block import _pick_engine
-
     from snappier_tpu.utils.profiling import timed_call
 
     data = bytes(data)
